@@ -1,0 +1,373 @@
+"""Ctrl-Adapter trainable core: per-location spatio-temporal adapter blocks.
+
+Parity targets (behavioral, not line-by-line):
+- ``AdapterSpatioTemporal`` — reference `model/adapter_spatial_temporal.py:10-292`;
+- ``ControlNetAdapter`` container with location maps A-D/M, per-location channel
+  tables, zeros for unadapted block positions — reference `model/ctrl_adapter.py:12-224`.
+
+TPU-native design notes:
+- residuals flow as NHWC ``(batch*frames, h, w, c)``; temporal ops view them as
+  ``(batch, frames, h, w, c)`` — pure reshapes, no transposes of the channel axis;
+- the 12-way block loop is unrolled at trace time (each block has distinct shapes), so
+  the whole adapter fuses into the surrounding denoise-step XLA program;
+- bug-compatible with the reference: the transformer operates at
+  ``inner_dim = 8 * attention_head_dim`` (the default ``num_attention_heads=8`` is used
+  for ``inner_dim`` at `adapter_spatial_temporal.py:62` even though the attention head
+  count is ``in_channels // attention_head_dim`` from `:42`) — released checkpoints
+  depend on these shapes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.attention import BasicTransformerBlock, TemporalBasicTransformerBlock
+from ..nn.embeddings import TimestepEmbedding, Timesteps, get_timestep_embedding
+from ..nn.resnet import AlphaBlender, ResnetBlock2D, TemporalResnetBlock, group_norm
+from ..ops.resize import nearest_resize
+
+# Block-location selection maps (reference `model/ctrl_adapter.py:119-168`).
+_LOCATION_ID_MAP = {
+    "A": {3: [0, 1, 2], 2: [0, 2], 1: [2]},
+    "B": {3: [3, 4, 5], 2: [3, 5], 1: [5]},
+    "C": {3: [6, 7, 8], 2: [6, 8], 1: [8]},
+    "D": {3: [9, 10, 11], 2: [9, 11], 1: [11]},
+}
+_LOCATION_CHANNEL_MAP = {
+    "A": {3: [320, 320, 320], 2: [320, 320], 1: [320]},
+    "B": {3: [320, 640, 640], 2: [320, 640], 1: [640]},
+    "C": {3: [640, 1280, 1280], 2: [640, 1280], 1: [1280]},
+    "D": {3: [1280, 1280, 1280], 2: [1280, 1280], 1: [1280]},
+}
+MID_BLOCK_CHANNELS = 1280
+NUM_DOWN_BLOCKS = 12
+
+
+def get_down_block_ids(locations: Sequence[str], num_adapters_per_location: int) -> List[int]:
+    ids: List[int] = []
+    for loc in ("A", "B", "C", "D"):
+        if loc in locations:
+            ids += _LOCATION_ID_MAP[loc].get(num_adapters_per_location, [])
+    return ids
+
+
+def get_down_block_channels(
+    locations: Sequence[str], num_adapters_per_location: int
+) -> List[int]:
+    channels: List[int] = []
+    for loc in ("A", "B", "C", "D"):
+        if loc in locations:
+            channels += _LOCATION_CHANNEL_MAP[loc].get(num_adapters_per_location, [])
+    return channels
+
+
+class AdapterSpatioTemporal(nn.Module):
+    """One adapter block: optional {spatial ResNet, temporal ResNet, spatial transformer,
+    temporal transformer} x num_layers with learned AlphaBlender time mixing."""
+
+    in_channels: int
+    out_channels: int
+    num_layers: int = 1
+    add_spatial_resnet: bool = True
+    add_temporal_resnet: bool = True
+    add_spatial_transformer: bool = True
+    add_temporal_transformer: bool = True
+    eps: float = 1e-6
+    temporal_eps: Optional[float] = None
+    merge_factor: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    switch_spatial_to_temporal_mix: bool = False
+    up_sampling_scale: float = 1.0
+    cross_attention_dim: int = 1024
+    num_attention_heads: int = 8  # used ONLY for inner_dim (bug-compatible, see module doc)
+    attention_head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (b*f, h, w, c)
+        num_frames: int,
+        timestep: Optional[jnp.ndarray] = None,  # scalar or (b,) or (b*f,)
+        encoder_hidden_states: Optional[jnp.ndarray] = None,  # (1|b|b*f, n, d)
+    ) -> jnp.ndarray:
+        batch_frames, height, width, channels = hidden_states.shape
+        batch_size = batch_frames // num_frames
+        attn_heads = self.in_channels // self.attention_head_dim
+        inner_dim = self.num_attention_heads * self.attention_head_dim
+        add_resnet_mixer = self.add_spatial_resnet and self.add_temporal_resnet
+        add_transformer_mixer = self.add_spatial_transformer and self.add_temporal_transformer
+        any_resnet = self.add_spatial_resnet or self.add_temporal_resnet
+        any_transformer = self.add_spatial_transformer or self.add_temporal_transformer
+
+        # 0. timestep -> per-(batch*frame) vector (reference `:189-198`).
+        if timestep is not None:
+            timestep = jnp.asarray(timestep)
+            timestep = timestep.reshape(-1)
+            if timestep.shape[0] != batch_frames:
+                timestep = jnp.repeat(timestep, batch_frames // timestep.shape[0], axis=0)
+            timestep = timestep.astype(jnp.float32)
+
+        image_only_indicator = jnp.zeros((batch_size, num_frames), dtype=jnp.float32)
+
+        # broadcast encoder hidden states to (b*f, n, d) (reference `:240-244`).
+        if encoder_hidden_states is not None:
+            if encoder_hidden_states.ndim == 2:
+                encoder_hidden_states = encoder_hidden_states[:, None, :]
+            if encoder_hidden_states.shape[0] == 1:
+                encoder_hidden_states = jnp.repeat(encoder_hidden_states, batch_frames, axis=0)
+            elif encoder_hidden_states.shape[0] != batch_frames:
+                encoder_hidden_states = jnp.repeat(
+                    encoder_hidden_states, batch_frames // encoder_hidden_states.shape[0], axis=0
+                )
+            encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+
+        # Modules shared across layers (created once in the reference __init__:
+        # `adapter_spatial_temporal.py:55-69`).
+        if any_resnet:
+            resnet_time_proj = Timesteps(self.out_channels, True, 0.0, name="resnet_time_proj")
+            resnet_time_embedding = TimestepEmbedding(
+                self.in_channels,
+                name="resnet_time_embedding",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+        if any_transformer:
+            shared_norm = group_norm(32, 1e-6, "norm", self.dtype, self.param_dtype)
+            shared_proj_in = nn.Dense(
+                inner_dim, name="proj_in", dtype=self.dtype, param_dtype=self.param_dtype
+            )
+            shared_proj_out = nn.Dense(
+                self.in_channels, name="proj_out", dtype=self.dtype, param_dtype=self.param_dtype
+            )
+            if self.add_temporal_transformer:
+                shared_transformer_time_embedding = TimestepEmbedding(
+                    inner_dim,
+                    name="transformer_time_embedding",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )
+
+        for i in range(self.num_layers):
+            # --- 1. resnets ---
+            if any_resnet:
+                resnet_temb = resnet_time_proj(timestep)  # (b*f, out_channels)
+                resnet_temb = resnet_time_embedding(resnet_temb.astype(self.dtype))
+
+            if self.add_spatial_resnet:
+                output_size = (
+                    (int(height * self.up_sampling_scale), int(width * self.up_sampling_scale))
+                    if i == 0 and self.up_sampling_scale > 1
+                    else None
+                )
+                hidden_states = ResnetBlock2D(
+                    in_channels=self.in_channels,
+                    out_channels=self.out_channels,
+                    temb_channels=self.in_channels,
+                    eps=self.eps,
+                    use_in_shortcut=True,
+                    up=(i == 0 and self.up_sampling_scale > 1),
+                    name=f"spatial_resnets_{i}",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(hidden_states, resnet_temb, output_size=output_size)
+                height, width = hidden_states.shape[1], hidden_states.shape[2]
+                if add_resnet_mixer:
+                    hidden_states_mix = hidden_states.reshape(
+                        batch_size, num_frames, height, width, channels
+                    )
+
+            if self.add_temporal_resnet:
+                hs_5d = hidden_states.reshape(batch_size, num_frames, height, width, channels)
+                temporal_temb = resnet_temb.reshape(batch_size, num_frames, -1)
+                hs_5d = TemporalResnetBlock(
+                    in_channels=self.out_channels if self.add_spatial_resnet else self.in_channels,
+                    out_channels=self.out_channels,
+                    temb_channels=self.in_channels,
+                    eps=self.temporal_eps if self.temporal_eps is not None else self.eps,
+                    name=f"temporal_resnets_{i}",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(hs_5d, temporal_temb)
+                if add_resnet_mixer:
+                    hs_5d = AlphaBlender(
+                        alpha=self.merge_factor,
+                        merge_strategy=self.merge_strategy,
+                        switch_spatial_to_temporal_mix=self.switch_spatial_to_temporal_mix,
+                        name=f"resnets_time_mixer_{i}",
+                    )(hidden_states_mix, hs_5d, image_only_indicator)
+                hidden_states = hs_5d.reshape(batch_frames, height, width, channels)
+
+            # --- 2. transformers ---
+            if not any_resnet and i == 0 and self.up_sampling_scale > 1:
+                # SDXL path without resnets: bare nearest upsample (reference `:235-237`).
+                hidden_states = nearest_resize(
+                    hidden_states,
+                    (int(height * self.up_sampling_scale), int(width * self.up_sampling_scale)),
+                )
+                height, width = hidden_states.shape[1], hidden_states.shape[2]
+
+            if any_transformer:
+                residual = hidden_states
+                norm_hidden = shared_norm(hidden_states).astype(hidden_states.dtype)
+                norm_hidden = norm_hidden.reshape(batch_frames, height * width, channels)
+                proj = shared_proj_in(norm_hidden)
+
+                if self.add_temporal_transformer:
+                    # frame-index positional embedding (reference `:259-266`)
+                    frame_idx = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), batch_size)
+                    frame_emb = get_timestep_embedding(
+                        frame_idx, self.in_channels, flip_sin_to_cos=True, downscale_freq_shift=0.0
+                    )
+                    frame_emb = shared_transformer_time_embedding(frame_emb.astype(self.dtype))
+                    frame_emb = frame_emb[:, None, :]  # (b*f, 1, inner)
+
+                    # time_context = first-frame embedding broadcast over h*w (reference `:246-250`)
+                    time_context = encoder_hidden_states.reshape(
+                        batch_size, num_frames, -1, encoder_hidden_states.shape[-1]
+                    )[:, 0]  # (b, n, d)
+                    time_context = jnp.broadcast_to(
+                        time_context[None],
+                        (height * width, batch_size, time_context.shape[1], time_context.shape[2]),
+                    ).reshape(height * width * batch_size, -1, time_context.shape[2])
+
+                if self.add_spatial_transformer:
+                    proj = BasicTransformerBlock(
+                        dim=inner_dim,
+                        num_attention_heads=attn_heads,
+                        attention_head_dim=self.attention_head_dim,
+                        cross_attention_dim=self.cross_attention_dim,
+                        name=f"spatial_attentions_{i}",
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                    )(proj, encoder_hidden_states=encoder_hidden_states)
+                    if add_transformer_mixer:
+                        proj_mix = proj
+
+                if self.add_temporal_transformer:
+                    proj = proj + frame_emb
+                    proj = TemporalBasicTransformerBlock(
+                        dim=inner_dim,
+                        time_mix_inner_dim=inner_dim,
+                        num_attention_heads=attn_heads,
+                        attention_head_dim=self.attention_head_dim,
+                        cross_attention_dim=self.cross_attention_dim,
+                        name=f"temporal_attentions_{i}",
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                    )(proj, num_frames=num_frames, encoder_hidden_states=time_context)
+                    if add_transformer_mixer:
+                        proj = AlphaBlender(
+                            alpha=self.merge_factor,
+                            merge_strategy=self.merge_strategy,
+                            switch_spatial_to_temporal_mix=self.switch_spatial_to_temporal_mix,
+                            name=f"transformers_time_mixer_{i}",
+                        )(proj_mix, proj, image_only_indicator)
+
+                # 3. output projection + residual
+                proj = shared_proj_out(proj)
+                hidden_states = proj.reshape(batch_frames, height, width, channels) + residual
+
+        return hidden_states
+
+
+class ControlNetAdapter(nn.Module):
+    """Container of per-location adapters over the 12+1 ControlNet residual slots.
+
+    ``__call__`` consumes the 12 down-block residuals (NHWC) + optional mid residual and
+    returns adapted residuals, emitting zeros at unadapted slots
+    (reference `model/ctrl_adapter.py:171-224`).
+    """
+
+    backbone_model_name: str = "i2vgenxl"
+    num_blocks: int = 2
+    num_adapters_per_location: int = 3
+    cross_attention_dim: Optional[int] = None
+    add_spatial_resnet: bool = True
+    add_temporal_resnet: bool = False
+    add_spatial_transformer: bool = True
+    add_temporal_transformer: bool = False
+    adapter_locations: Tuple[str, ...] = ("A", "B", "C", "D", "M")
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def down_block_ids(self) -> List[int]:
+        return get_down_block_ids(self.adapter_locations, self.num_adapters_per_location)
+
+    @property
+    def down_block_channels(self) -> List[int]:
+        return get_down_block_channels(self.adapter_locations, self.num_adapters_per_location)
+
+    def _adapter_config(self, ch: int, up_scale: float) -> dict:
+        return dict(
+            in_channels=ch,
+            out_channels=ch,
+            cross_attention_dim=self.cross_attention_dim,
+            num_layers=self.num_blocks,
+            up_sampling_scale=up_scale,
+            add_spatial_resnet=self.add_spatial_resnet,
+            add_temporal_resnet=self.add_temporal_resnet,
+            add_spatial_transformer=self.add_spatial_transformer,
+            add_temporal_transformer=self.add_temporal_transformer,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        down_block_res_samples: Sequence[jnp.ndarray],  # 12 x (b*f, h, w, c)
+        mid_block_res_sample: Optional[jnp.ndarray] = None,
+        num_frames: int = 1,
+        timestep: Optional[jnp.ndarray] = None,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
+        # SD-v1.5 ControlNet features are 64x64 but SDXL latents are 128x128, hence the
+        # 2x per-adapter upsample for SDXL (reference `model/ctrl_adapter.py:61-66`).
+        up_scale = 2.0 if self.backbone_model_name == "sdxl" else 1.0
+        down_block_ids = self.down_block_ids
+        channels = self.down_block_channels
+
+        adapted: List[jnp.ndarray] = []
+        curr_idx = 0
+        for i in range(NUM_DOWN_BLOCKS):
+            if i in down_block_ids:
+                block = AdapterSpatioTemporal(
+                    **self._adapter_config(channels[curr_idx], up_scale),
+                    name=f"down_blocks_adapter_{curr_idx}",
+                )
+                adapted.append(
+                    block(
+                        down_block_res_samples[i],
+                        num_frames=num_frames,
+                        timestep=timestep,
+                        encoder_hidden_states=encoder_hidden_states,
+                    )
+                )
+                curr_idx += 1
+            else:
+                ref = down_block_res_samples[i]
+                if up_scale > 1:
+                    ref_shape = (ref.shape[0], ref.shape[1] * 2, ref.shape[2] * 2, ref.shape[3])
+                    adapted.append(jnp.zeros(ref_shape, dtype=ref.dtype))
+                else:
+                    adapted.append(jnp.zeros_like(ref))
+
+        adapted_mid: Optional[jnp.ndarray] = None
+        if mid_block_res_sample is not None and "M" in self.adapter_locations:
+            adapted_mid = AdapterSpatioTemporal(
+                **self._adapter_config(MID_BLOCK_CHANNELS, up_scale),
+                name="mid_block_adapter",
+            )(
+                mid_block_res_sample,
+                num_frames=num_frames,
+                timestep=timestep,
+                encoder_hidden_states=encoder_hidden_states,
+            )
+
+        return adapted, adapted_mid

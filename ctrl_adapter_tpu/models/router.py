@@ -1,0 +1,103 @@
+"""Multi-condition MoE router: per-block expert weights over N ControlNets.
+
+Parity target: reference `model/ctrl_router.py:9-112`. Two live router types:
+- ``equal_weights``: constant zero logits (uniform over unmasked experts);
+- ``simple_weights``: free logits per block — a bias-free Linear(1 -> E) applied to the
+  constant input 1, i.e. the logits are simply the weight column ``wg.weight[:, 0]``.
+
+Expert masking subtracts 1e6 from masked experts' logits before the softmax
+(reference `:96-107`), which is how inference-time ``inference_expert_masks`` and the
+training-time random expert subsets work.
+
+TPU-native design: the 12 (+1 mid) routers collapse into a single (num_routers, E)
+logits tensor -> one masked softmax; fusion of expert features is an einsum over a
+static expert axis rather than per-expert Python loops. Param layout still mirrors the
+torch tree (``down_blocks_router_{i}.wg.kernel``) for checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+MASK_NEG = 1.0e6
+
+
+class ControlNetRouter(nn.Module):
+    num_experts: int = 2
+    router_type: str = "simple_weights"  # "equal_weights" | "simple_weights"
+    num_routers: int = 12
+    add_mid_block_router: bool = True
+    embedding_dim: Optional[int] = None
+    backbone_model_name: Optional[str] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _logits(self, name: str) -> jnp.ndarray:
+        if self.router_type == "equal_weights":
+            return jnp.zeros((self.num_experts,), dtype=jnp.float32)
+        if self.router_type == "simple_weights":
+            # torch: nn.Linear(1, E, bias=False) applied to the constant 1.0, i.e. the
+            # logits ARE the (E, 1) weight matrix. Kept as an (1, E) flax kernel so
+            # torch->jax conversion (transpose) is uniform with other Dense layers.
+            kernel = self.param(
+                f"{name}_wg_kernel",
+                nn.initializers.normal(stddev=1.0 / jnp.sqrt(1.0)),
+                (1, self.num_experts),
+                self.param_dtype,
+            )
+            return kernel[0].astype(jnp.float32)
+        raise ValueError(f"unsupported router_type: {self.router_type}")
+
+    @nn.compact
+    def __call__(
+        self,
+        router_input: Optional[jnp.ndarray] = None,
+        sparse_mask: Optional[jnp.ndarray] = None,  # (E,) 1=keep, 0=mask
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        down_logits = jnp.stack(
+            [self._logits(f"down_blocks_router_{i}") for i in range(self.num_routers)]
+        )  # (num_routers, E)
+        mid_logits = self._logits("mid_block_router") if self.add_mid_block_router else None
+
+        if sparse_mask is not None:
+            sparse_mask = jnp.asarray(sparse_mask, dtype=jnp.float32)
+            penalty = (1.0 - sparse_mask) * MASK_NEG
+            down_logits = down_logits - penalty[None, :]
+            if mid_logits is not None:
+                mid_logits = mid_logits - penalty
+
+        down_weights = nn.softmax(down_logits, axis=-1)
+        mid_weights = nn.softmax(mid_logits, axis=-1) if mid_logits is not None else None
+        return down_weights, mid_weights
+
+
+def fuse_expert_residuals(
+    down_per_expert,  # list over E of list over K of (..., c) arrays
+    mid_per_expert,  # list over E of arrays, or None
+    down_weights: jnp.ndarray,  # (K, E)
+    mid_weights: Optional[jnp.ndarray],  # (E,)
+):
+    """Router-weighted merge of per-expert ControlNet residuals.
+
+    Equivalent to the per-expert accumulation loops at
+    `i2vgen_xl_controlnet_adapter_pipeline.py:1000-1022` / `train.py:1262-1274`, but as
+    a static sum so XLA fuses the scale+add chains into the producing convolutions.
+    """
+    num_experts = len(down_per_expert)
+    num_blocks = len(down_per_expert[0])
+    fused_down = []
+    for k in range(num_blocks):
+        acc = 0
+        for e in range(num_experts):
+            w = down_weights[k, e].astype(down_per_expert[e][k].dtype)
+            acc = acc + down_per_expert[e][k] * w
+        fused_down.append(acc)
+    fused_mid = None
+    if mid_per_expert is not None and mid_weights is not None:
+        acc = 0
+        for e in range(num_experts):
+            acc = acc + mid_per_expert[e] * mid_weights[e].astype(mid_per_expert[e].dtype)
+        fused_mid = acc
+    return fused_down, fused_mid

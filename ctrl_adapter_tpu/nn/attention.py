@@ -1,0 +1,259 @@
+"""Attention / transformer blocks (TPU-native, batch-seq-channel layout).
+
+Re-implements the behavior of diffusers' ``Attention``, ``FeedForward`` (GEGLU),
+``BasicTransformerBlock`` and ``TemporalBasicTransformerBlock`` as used by the
+reference adapter (`model/adapter_spatial_temporal.py:106-130`) and the UNets /
+ControlNet towers. Design differences from the torch reference:
+
+- sequences stay channel-last; QKV projections run in bf16 on the MXU with fp32 softmax
+  accumulation via ``jax.nn.dot_product_attention``;
+- no attention processors / xformers plumbing: XLA fuses the (QK^T -> softmax -> V)
+  chain, and a Pallas flash-attention kernel can be swapped in via
+  ``ctrl_adapter_tpu.ops.flash_attention`` for long sequences.
+
+Torch param-name layout is preserved (``to_q``, ``to_k``, ``to_v``, ``to_out_0``,
+``ff.net_0.proj`` …) so HF checkpoints convert mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .embeddings import TimestepEmbedding, Timesteps  # noqa: F401  (re-export convenience)
+
+
+def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, upcast: bool = False) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, T, N, H) tensors."""
+    if upcast:
+        q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional cross-attention context.
+
+    Mirrors diffusers ``Attention`` numerics: bias-free QKV, biased output proj,
+    scale = head_dim ** -0.5 (the default inside dot_product_attention).
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    cross_attention_dim: Optional[int] = None
+    upcast_attention: bool = False
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        inner_dim = self.heads * self.dim_head
+        context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            inner_dim, use_bias=False, name=name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        q = dense("to_q")(hidden_states)
+        k = dense("to_k")(context)
+        v = dense("to_v")(context)
+
+        b, tq = q.shape[0], q.shape[1]
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.heads, self.dim_head)
+        k = k.reshape(b, tk, self.heads, self.dim_head)
+        v = v.reshape(b, tk, self.heads, self.dim_head)
+
+        out = _sdpa(q, k, v, upcast=self.upcast_attention).astype(hidden_states.dtype)
+        out = out.reshape(b, tq, inner_dim)
+
+        out = nn.Dense(
+            self.query_dim,
+            use_bias=self.out_bias,
+            name="to_out_0",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(out)
+        return out
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.dim_out * 2, name="proj", dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * jax.nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: Linear(dim, 4*dim*2) -> geglu -> Linear(4*dim, dim_out).
+
+    Torch layout: ``net.0.proj`` (GEGLU), ``net.2`` (output Linear); flax names
+    ``net_0``/``net_2`` map 1:1.
+    """
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = x.shape[-1] * self.mult
+        out_dim = self.dim_out or x.shape[-1]
+        x = GEGLU(inner, name="net_0", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.Dense(out_dim, name="net_2", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    """LayerNorm-sandwiched self-attn, cross-attn, GEGLU FF with residuals.
+
+    Parity target: diffusers ``BasicTransformerBlock`` (layer_norm variant) as used at
+    `model/adapter_spatial_temporal.py:108-116` and inside SD ControlNet / UNet
+    transformer stacks.
+    """
+
+    dim: int
+    num_attention_heads: int
+    attention_head_dim: int
+    cross_attention_dim: Optional[int] = None
+    only_cross_attention: bool = False
+    upcast_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-5, name=name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        attn = lambda name, cross_dim: Attention(  # noqa: E731
+            query_dim=self.dim,
+            heads=self.num_attention_heads,
+            dim_head=self.attention_head_dim,
+            cross_attention_dim=cross_dim,
+            upcast_attention=self.upcast_attention,
+            name=name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+        # 1. self-attention (or pure cross-attention when only_cross_attention).
+        norm_hidden = ln("norm1")(hidden_states)
+        ctx = encoder_hidden_states if self.only_cross_attention else None
+        hidden_states = attn("attn1", self.cross_attention_dim if self.only_cross_attention else None)(
+            norm_hidden, ctx
+        ) + hidden_states
+
+        # 2. cross-attention.
+        if self.cross_attention_dim is not None and not self.only_cross_attention:
+            norm_hidden = ln("norm2")(hidden_states)
+            hidden_states = attn("attn2", self.cross_attention_dim)(
+                norm_hidden, encoder_hidden_states
+            ) + hidden_states
+
+        # 3. feed-forward.
+        norm_hidden = ln("norm3")(hidden_states)
+        hidden_states = FeedForward(
+            self.dim, name="ff", dtype=self.dtype, param_dtype=self.param_dtype
+        )(norm_hidden) + hidden_states
+        return hidden_states
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Per-pixel temporal transformer over the frame axis.
+
+    Parity target: diffusers ``TemporalBasicTransformerBlock``
+    (`model/adapter_spatial_temporal.py:119-130`, SVD/I2VGen temporal attention).
+    Input is (batch*frames, seq, dim); internally reshaped to (batch*seq, frames, dim)
+    so attention runs over <=16 frame tokens.
+    """
+
+    dim: int
+    time_mix_inner_dim: int
+    num_attention_heads: int
+    attention_head_dim: int
+    cross_attention_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        num_frames: int,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        is_res = self.dim == self.time_mix_inner_dim
+        batch_frames, seq_length, channels = hidden_states.shape
+        batch_size = batch_frames // num_frames
+
+        # (b*f, s, c) -> (b*s, f, c): frames become the attention sequence.
+        hidden_states = hidden_states.reshape(batch_size, num_frames, seq_length, channels)
+        hidden_states = hidden_states.transpose(0, 2, 1, 3)
+        hidden_states = hidden_states.reshape(batch_size * seq_length, num_frames, channels)
+
+        residual = hidden_states
+        hidden_states = nn.LayerNorm(
+            epsilon=1e-5, name="norm_in", dtype=self.dtype, param_dtype=self.param_dtype
+        )(hidden_states)
+        hidden_states = FeedForward(
+            self.time_mix_inner_dim, name="ff_in", dtype=self.dtype, param_dtype=self.param_dtype
+        )(hidden_states)
+        if is_res:
+            hidden_states = hidden_states + residual
+
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-5, name=name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        norm_hidden = ln("norm1")(hidden_states)
+        hidden_states = Attention(
+            query_dim=self.time_mix_inner_dim,
+            heads=self.num_attention_heads,
+            dim_head=self.attention_head_dim,
+            name="attn1",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(norm_hidden) + hidden_states
+
+        if self.cross_attention_dim is not None:
+            norm_hidden = ln("norm2")(hidden_states)
+            hidden_states = Attention(
+                query_dim=self.time_mix_inner_dim,
+                heads=self.num_attention_heads,
+                dim_head=self.attention_head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                name="attn2",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(norm_hidden, encoder_hidden_states) + hidden_states
+
+        norm_hidden = ln("norm3")(hidden_states)
+        ff_out = FeedForward(
+            self.time_mix_inner_dim, name="ff", dtype=self.dtype, param_dtype=self.param_dtype
+        )(norm_hidden)
+        hidden_states = ff_out + hidden_states if is_res else ff_out
+
+        # (b*s, f, c) -> (b*f, s, c)
+        hidden_states = hidden_states.reshape(batch_size, seq_length, num_frames, channels)
+        hidden_states = hidden_states.transpose(0, 2, 1, 3)
+        hidden_states = hidden_states.reshape(batch_frames, seq_length, channels)
+        return hidden_states

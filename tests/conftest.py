@@ -1,0 +1,23 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding (data-parallel pjit train step, mesh collectives) is validated on a
+virtual 8-device CPU mesh, mirroring how the driver's ``dryrun_multichip`` runs. Real-TPU
+benchmarks live in ``bench.py``, not in the test suite.
+"""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: repeated test runs skip recompiles (single-core host).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,140 @@
+"""Numerical parity of TPU primitives vs torch-CPU oracles.
+
+The reference stack is torch; torch (CPU) is available in this image, so we use
+``torch.nn.functional`` as the golden oracle for the primitive ops our modules are
+built from: nearest resize, adaptive average pooling, GroupNorm semantics, scaled
+dot-product attention, and conv weight-layout conversion.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+import flax.linen as nn
+
+from ctrl_adapter_tpu.ops.resize import adaptive_avg_pool2d, nearest_resize
+from ctrl_adapter_tpu.convert.torch_to_jax import convert_state_dict
+
+
+def to_nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def to_nchw(x_nhwc: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 8), (16, 16)), ((7, 5), (14, 10)), ((9, 9), (13, 17))])
+def test_nearest_resize_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, *in_hw)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=out_hw, mode="nearest").numpy()
+    got = to_nchw(np.asarray(nearest_resize(jnp.asarray(to_nhwc(x)), out_hw)))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((128, 128), (64, 64)), ((64, 64), (64, 64)), ((10, 6), (4, 4))])
+def test_adaptive_avg_pool_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 4, *in_hw)).astype(np.float32)
+    ref = F.adaptive_avg_pool2d(torch.from_numpy(x), out_hw).numpy()
+    got = to_nchw(np.asarray(adaptive_avg_pool2d(jnp.asarray(to_nhwc(x)), out_hw)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("channels,groups", [(320, 32), (64, 32), (8, 4)])
+def test_flax_groupnorm_matches_torch(channels, groups):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, channels, 6, 6)).astype(np.float32)
+    weight = rng.normal(size=(channels,)).astype(np.float32)
+    bias = rng.normal(size=(channels,)).astype(np.float32)
+    eps = 1e-6
+
+    ref = F.group_norm(
+        torch.from_numpy(x), groups, torch.from_numpy(weight), torch.from_numpy(bias), eps
+    ).numpy()
+
+    gn = nn.GroupNorm(num_groups=groups, epsilon=eps)
+    params = {"params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)}}
+    got = to_nchw(np.asarray(gn.apply(params, jnp.asarray(to_nhwc(x)))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sdpa_matches_torch():
+    rng = np.random.default_rng(3)
+    b, t, heads, hd = 2, 17, 4, 32
+    s = 23
+    q = rng.normal(size=(b, t, heads, hd)).astype(np.float32)
+    k = rng.normal(size=(b, s, heads, hd)).astype(np.float32)
+    v = rng.normal(size=(b, s, heads, hd)).astype(np.float32)
+
+    ref = F.scaled_dot_product_attention(
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(k).permute(0, 2, 1, 3),
+        torch.from_numpy(v).permute(0, 2, 1, 3),
+    ).permute(0, 2, 1, 3).numpy()
+
+    got = np.asarray(jax.nn.dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_weight_conversion():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 8, 9, 9)).astype(np.float32)
+    tconv = torch.nn.Conv2d(8, 16, 3, padding=1)
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tconv.state_dict().items()}
+    params = convert_state_dict(sd)
+    conv = nn.Conv(16, (3, 3), padding=((1, 1), (1, 1)))
+    got = to_nchw(np.asarray(conv.apply({"params": params}, jnp.asarray(to_nhwc(x)))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_weight_conversion():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 8, 5, 4, 4)).astype(np.float32)  # (n, c, f, h, w)
+    tconv = torch.nn.Conv3d(8, 16, (3, 1, 1), padding=(1, 0, 0))
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tconv.state_dict().items()}
+    params = convert_state_dict(sd)
+    conv = nn.Conv(16, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)))
+    x_ndhwc = np.transpose(x, (0, 2, 3, 4, 1))
+    got = np.asarray(conv.apply({"params": params}, jnp.asarray(x_ndhwc)))
+    got = np.transpose(got, (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_weight_conversion():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(3, 12)).astype(np.float32)
+    tlin = torch.nn.Linear(12, 7)
+    ref = tlin(torch.from_numpy(x)).detach().numpy()
+    params = convert_state_dict({k: v.detach().numpy() for k, v in tlin.state_dict().items()})
+    got = np.asarray(nn.Dense(7).apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_timestep_embedding_formula():
+    """Sinusoid matches the documented diffusers formula (flip_sin_to_cos, shift=0)."""
+    from ctrl_adapter_tpu.nn.embeddings import get_timestep_embedding
+
+    t = np.array([0.0, 1.0, 17.0, 999.0], dtype=np.float32)
+    dim = 320
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half, dtype=np.float32) / half
+    freqs = np.exp(exponent)
+    arg = t[:, None] * freqs[None, :]
+    ref = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)  # flipped
+
+    got = np.asarray(
+        get_timestep_embedding(jnp.asarray(t), dim, flip_sin_to_cos=True, downscale_freq_shift=0.0)
+    )
+    # fp32 exp/cos vs the fp64 numpy reference: a ~1e-7 relative frequency rounding is
+    # amplified by t=999 into ~2e-3 phase error — inherent fp32, same as torch.
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=5e-3)
