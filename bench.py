@@ -1,0 +1,136 @@
+"""Benchmark: SVD 512^2 depth-controlled video generation — frames/sec/chip.
+
+North-star metric (BASELINE.md): frames/sec/chip for SVD 14-frame depth-controlled
+generation (25 EDM steps, CFG, skip_conv_in latent skipping), i.e. the full reference
+recipe of `inference_scripts/svd/*` re-expressed as jitted phase scans.
+
+The reference repo publishes no numbers (BASELINE.md); ``vs_baseline`` is therefore
+reported against a documented engineering estimate of the torch/A100 reference:
+~0.75 frames/sec (25 UNet steps at CFG batch 2 x 14 frames x 64^2 latents on A100
+plus chunked VAE decode, per the reference's per-step Python dispatch pipeline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import os as _os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("CTRL_ADAPTER_JAX_CACHE", "/tmp/jax_ctrl_adapter_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+TORCH_A100_REFERENCE_FPS_ESTIMATE = 0.75  # documented estimate, see module docstring
+
+
+def fabricate(module, *args, seed=0, scale=0.02, dtype=jnp.bfloat16, **kwargs):
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
+    rng = np.random.default_rng(seed)
+
+    def fill(s):
+        return jnp.asarray(rng.standard_normal(s.shape).astype(np.float32)).astype(s.dtype) * scale
+
+    return jax.tree.map(fill, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.frames, args.steps, args.height, args.width = 4, 5, 128, 128
+
+    from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+    from ctrl_adapter_tpu.models.controlnet import ControlNetModel
+    from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
+    from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
+
+    dtype = jnp.bfloat16
+    b, f = 1, args.frames
+    lh, lw = args.height // 8, args.width // 8
+    cls = lh  # pooled control latent size tracks latent size (64 at 512^2)
+
+    unet = UNetSpatioTemporalConditionModel(dtype=dtype)
+    cnet = ControlNetModel(dtype=dtype)
+    adapter = ControlNetAdapter(
+        backbone_model_name="svd", cross_attention_dim=1024, num_blocks=1,
+        adapter_locations=("A", "B", "C", "D", "M"),
+        add_temporal_resnet=True, add_temporal_transformer=True, dtype=dtype,
+    )
+    vae = AutoencoderKL(config=VAEConfig(), dtype=dtype)
+    pipe = SVDControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+
+    # fabricate params (random weights: identical compute to released checkpoints)
+    sample8 = jnp.ones((2 * b, f, lh, lw, 8), dtype)
+    params = {
+        "unet": fabricate(unet, sample8, jnp.ones((2 * b,)), jnp.ones((2 * b, 1, 1024), dtype),
+                          jnp.ones((2 * b, 3), dtype)),
+        "vae": fabricate(vae, jnp.ones((1, args.height, args.width, 3), dtype)),
+    }
+    cn_args = (jnp.ones((2 * b * f, cls, cls, 4), dtype), jnp.ones((2 * b * f,)),
+               jnp.ones((2 * b * f, 77, 768), dtype),
+               jnp.ones((2 * b * f, cls * 8, cls * 8, 3), dtype))
+    params["controlnet"] = fabricate(cnet, *cn_args)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet"], *cn_args))
+    params["adapter"] = fabricate(
+        adapter, [jnp.zeros(s.shape, dtype) for s in downs_s], jnp.zeros(mid_s.shape, dtype),
+        f, jnp.ones((2 * b * f,)), jnp.ones((1, 1, 1024), dtype))
+
+    image_emb = jnp.ones((b, 1, 1024), dtype) * 0.1
+    image_latent = jnp.ones((b, lh, lw, 4), dtype) * 0.1
+    cn_prompt = jnp.ones((2 * b, 77, 768), dtype) * 0.02
+    ctrl_images = jnp.ones((b * f, cls * 8, cls * 8, 3), dtype) * 0.5
+
+    def run(seed):
+        video = pipe.generate(
+            params, jax.random.PRNGKey(seed), image_emb, image_latent, cn_prompt,
+            ctrl_images, height=args.height, width=args.width, num_frames=f,
+            num_inference_steps=args.steps, skip_conv_in=True,
+            control_guidance_end=0.8, control_latent_size=cls,
+        )
+        return jax.block_until_ready(video)
+
+    t0 = time.time()
+    video = run(0)  # compile + first run
+    compile_wall = time.time() - t0
+    print(f"# first run (incl. compile): {compile_wall:.1f}s, video {video.shape}",
+          file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = (b * f) / best
+    print(f"# steady-state generation: {best:.2f}s for {f} frames "
+          f"({args.steps} steps, {args.height}x{args.width})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frames/sec/chip (SVD depth-controlled generation, "
+                  f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip)",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / TORCH_A100_REFERENCE_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Config/flag system: argparse defaults + YAML overwrite.
+
+Parity target: the reference's two-level system — ~45 argparse flags
+(`train.py:59-342`, `inference.py:21-172`) whose values a ``--yaml_file`` overwrites
+wholesale via OmegaConf (`train.py:1519-1530`). Same semantics here with pyyaml, plus
+a typed accessor so downstream code doesn't probe ``'key' in args`` defensively
+(`train.py:362-366`).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def merge_yaml_over_args(args: argparse.Namespace, yaml_file: Optional[str]) -> argparse.Namespace:
+    """YAML keys overwrite argparse attributes wholesale (reference `train.py:1525-1528`)."""
+    if yaml_file:
+        for key, value in load_yaml(yaml_file).items():
+            setattr(args, key, value)
+    return args
+
+
+def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """The reference's training flag surface (`train.py:59-342`), defaults preserved."""
+    add = parser.add_argument
+    add("--yaml_file", type=str, default=None)
+    add("--model_name", type=str, default="i2vgenxl",
+        choices=["i2vgenxl", "svd", "sdxl"])
+    add("--DATA_PATH", type=str, default="./outputs")
+    add("--train_data_path", type=str, default="sample_data/videos")
+    add("--train_prompt_path", type=str, default="sample_data/video_captions.csv")
+    add("--train_batch_size", type=int, default=1)
+    add("--height", type=int, default=512)
+    add("--width", type=int, default=512)
+    add("--use_size_512", type=bool, default=True)
+    add("--n_sample_frames", type=int, default=16)
+    add("--output_fps", type=int, default=16)
+    add("--input_data_type", type=str, default="videos")
+    # adapter architecture
+    add("--cross_attention_dim", type=int, default=1024)
+    add("--add_spatial_resnet", type=bool, default=True)
+    add("--add_temporal_resnet", type=bool, default=True)
+    add("--add_spatial_transformer", type=bool, default=True)
+    add("--add_temporal_transformer", type=bool, default=True)
+    add("--num_blocks", type=int, default=1)
+    add("--adapter_locations", type=str, nargs="+", default=["A", "B", "C", "D", "M"])
+    add("--num_adapters_per_location", type=int, default=3)
+    # controlnet
+    add("--skip_conv_in", type=bool, default=False)
+    add("--skip_time_emb", type=bool, default=False)
+    add("--fixed_controlnet_timestep", type=int, default=-1)
+    add("--control_types", type=str, nargs="+", default=["depth"])
+    add("--mixed_control_types_training", type=str, nargs="+", default=[])
+    add("--multi_source_random_select_control_types", type=bool, default=False)
+    add("--max_num_multi_source_train", type=int, default=4)
+    add("--router_type", type=str, default="simple_weights")
+    add("--apply_sparse_frame_mask", type=bool, default=None)
+    # optimization (`train.py:86-179`)
+    add("--learning_rate", type=float, default=5e-5)
+    add("--adam_beta1", type=float, default=0.9)
+    add("--adam_beta2", type=float, default=0.999)
+    add("--adam_weight_decay", type=float, default=1e-2)
+    add("--adam_epsilon", type=float, default=1e-8)
+    add("--max_grad_norm", type=float, default=1.0)
+    add("--noise_offset", type=float, default=0.05)
+    add("--snr_gamma", type=float, default=None)
+    add("--max_train_steps", type=int, default=50000)
+    add("--gradient_accumulation_steps", type=int, default=1)
+    add("--checkpointing_steps", type=int, default=2000)
+    add("--validate_every_steps", type=int, default=2000)
+    add("--num_inference_steps", type=int, default=25)
+    add("--seed", type=int, default=42)
+    add("--mixed_precision", type=str, default="bf16")
+    # model paths (local; zero-egress image needs pre-downloaded checkpoints)
+    add("--pretrained_model_path", type=str, default=None,
+        help="local dir with converted backbone (unet/vae/text encoder) params")
+    add("--controlnet_model_paths", type=str, nargs="+", default=None,
+        help="local dirs with converted SD-v1.5 ControlNet params, one per control type")
+    add("--adapter_resume_path", type=str, default=None)
+    add("--adapter_resume_step", type=int, default=None)
+    return parser
+
+
+def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """The reference's inference flag surface (`inference.py:21-172`)."""
+    add = parser.add_argument
+    add("--model_name", type=str, default="i2vgenxl", choices=["i2vgenxl", "svd", "sdxl"])
+    add("--control_types", type=str, nargs="+", default=["depth"])
+    add("--eval_input_type", type=str, default="frames", choices=["frames", "images"])
+    add("--evaluation_input_folder", type=str, default="assets/evaluation/frames")
+    add("--evaluation_output_folder", type=str, default="outputs")
+    add("--evaluation_prompt_file", type=str, default="captions.json")
+    add("--num_inference_steps", type=int, default=50)
+    add("--guidance_scale", type=float, default=9.0)
+    add("--controlnet_conditioning_scale", type=float, default=1.0)
+    add("--control_guidance_start", type=float, default=0.0)
+    add("--control_guidance_end", type=float, default=0.8)
+    add("--height", type=int, default=512)
+    add("--width", type=int, default=512)
+    add("--n_sample_frames", type=int, default=16)
+    add("--output_fps", type=int, default=16)
+    add("--skip_conv_in", type=bool, default=False)
+    add("--skip_time_emb", type=bool, default=False)
+    add("--sparse_frames", type=str, nargs="+", default=None)
+    add("--inference_expert_masks", type=int, nargs="+", default=None)
+    add("--extract_control_conditions", type=bool, default=False)
+    add("--use_size_512", type=bool, default=True)
+    add("--seed", type=int, default=42)
+    # checkpoints (local paths in this zero-egress image)
+    add("--pretrained_model_path", type=str, default=None)
+    add("--controlnet_model_paths", type=str, nargs="+", default=None)
+    add("--adapter_checkpoint_path", type=str, default=None,
+        help="dir with adapter safetensors (HF release subfolder) or orbax dir")
+    add("--router_checkpoint_path", type=str, default=None)
+    add("--num_images_per_prompt", type=int, default=1)
+    add("--video_length", type=int, default=16)
+    add("--video_duration", type=int, default=1000)
+    return parser

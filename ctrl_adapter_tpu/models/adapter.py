@@ -292,6 +292,11 @@ class ControlNetAdapter(nn.Module):
     add_spatial_transformer: bool = True
     add_temporal_transformer: bool = False
     adapter_locations: Tuple[str, ...] = ("A", "B", "C", "D", "M")
+    # Extension over the reference: override the SD-v1.5 channel tables to adapt a
+    # non-SD feature tower (also lets tests run thin). None = reference tables.
+    custom_down_block_channels: Optional[Tuple[int, ...]] = None
+    custom_mid_block_channels: Optional[int] = None
+    attention_head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -301,6 +306,8 @@ class ControlNetAdapter(nn.Module):
 
     @property
     def down_block_channels(self) -> List[int]:
+        if self.custom_down_block_channels is not None:
+            return list(self.custom_down_block_channels)
         return get_down_block_channels(self.adapter_locations, self.num_adapters_per_location)
 
     def _adapter_config(self, ch: int, up_scale: float) -> dict:
@@ -314,6 +321,7 @@ class ControlNetAdapter(nn.Module):
             add_temporal_resnet=self.add_temporal_resnet,
             add_spatial_transformer=self.add_spatial_transformer,
             add_temporal_transformer=self.add_temporal_transformer,
+            attention_head_dim=self.attention_head_dim,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -360,8 +368,9 @@ class ControlNetAdapter(nn.Module):
 
         adapted_mid: Optional[jnp.ndarray] = None
         if mid_block_res_sample is not None and "M" in self.adapter_locations:
+            mid_channels = self.custom_mid_block_channels or MID_BLOCK_CHANNELS
             adapted_mid = AdapterSpatioTemporal(
-                **self._adapter_config(MID_BLOCK_CHANNELS, up_scale),
+                **self._adapter_config(mid_channels, up_scale),
                 name="mid_block_adapter",
             )(
                 mid_block_res_sample,

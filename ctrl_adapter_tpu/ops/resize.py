@@ -54,13 +54,13 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
         kh, kw = h // out_h, w // out_w
         x = x.reshape(*lead, out_h, kh, out_w, kw, c)
         return x.mean(axis=(-4, -2))
-    # General adaptive pooling: bin i covers [floor(i*H/out), ceil((i+1)*H/out)).
+    # General adaptive pooling: bin i covers [floor(i*H/out), ceil((i+1)*H/out));
+    # bins are static (Python) so this unrolls into a fixed gather/mean program.
     def pool_axis(arr: jnp.ndarray, size: int, out: int, axis: int) -> jnp.ndarray:
-        starts = (jnp.arange(out) * size) // out
-        ends = -((-(jnp.arange(out) + 1) * size) // out)
         segments = []
         for i in range(out):
-            s, e = int(starts[i]), int(ends[i])
+            s = (i * size) // out
+            e = -((-(i + 1) * size) // out)
             segments.append(
                 jnp.take(arr, jnp.arange(s, e), axis=axis).mean(axis=axis, keepdims=True)
             )

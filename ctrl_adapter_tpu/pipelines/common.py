@@ -1,0 +1,64 @@
+"""Shared pipeline utilities: control-window phases, CFG, SDXL time ids.
+
+The reference computes a per-step ``controlnet_keep`` list
+(`i2vgen_xl_controlnet_adapter_pipeline.py:842-850`,
+`sdxl_controlnet_adapter_pipeline.py:1297-1303`) and branches per step in Python.
+Keep is 1 exactly on a contiguous step window [start, end), so the TPU version splits
+sampling into up to three ``lax.scan`` phases — (no-control, control, no-control) —
+each a static-shape program; steps outside the window never run the ControlNet or
+adapter at all (the reference still pays Python dispatch for them).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def controlnet_keep_schedule(
+    num_steps: int, control_guidance_start: float, control_guidance_end: float
+) -> List[float]:
+    """Per-step keep flags, identical formula to the reference."""
+    return [
+        1.0
+        - float(
+            i / num_steps < control_guidance_start
+            or (i + 1) / num_steps > control_guidance_end
+        )
+        for i in range(num_steps)
+    ]
+
+
+def control_window(
+    num_steps: int, control_guidance_start: float, control_guidance_end: float
+) -> Tuple[int, int]:
+    """Contiguous [lo, hi) step window where keep == 1."""
+    keeps = controlnet_keep_schedule(num_steps, control_guidance_start, control_guidance_end)
+    on = [i for i, k in enumerate(keeps) if k == 1.0]
+    if not on:
+        return 0, 0
+    lo, hi = on[0], on[-1] + 1
+    assert all(k == 1.0 for k in keeps[lo:hi]), "keep window must be contiguous"
+    return lo, hi
+
+
+def classifier_free_guidance(noise_pred: jnp.ndarray, guidance_scale) -> jnp.ndarray:
+    """Split a CFG-doubled batch [uncond; cond] and combine."""
+    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+    return uncond + guidance_scale * (cond - uncond)
+
+
+def sdxl_add_time_ids(
+    original_size: Tuple[int, int],
+    crops_coords_top_left: Tuple[int, int],
+    target_size: Tuple[int, int],
+    batch_size: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """[orig_h, orig_w, crop_top, crop_left, target_h, target_w] per sample
+    (reference `model/ctrl_helper.py:460-465`)."""
+    ids = jnp.asarray(
+        [list(original_size) + list(crops_coords_top_left) + list(target_size)], dtype=dtype
+    )
+    return jnp.tile(ids, (batch_size, 1))

@@ -1,0 +1,253 @@
+"""I2VGen-XL + Ctrl-Adapter video pipeline — jitted phase scans, static-shape sparse
+frames and expert masking.
+
+Parity target: reference `i2vgen_xl/pipelines/i2vgen_xl_controlnet_adapter_pipeline.py`
+(`:899-1145`): CFG-doubled (2b, f) batch; SD-v1.5 ControlNet on (2b*f) pooled 64x64
+latents + 512 condition frames; optional multi-ControlNet expert fusion via the MoE
+router with ``inference_expert_masks`` (`:971-1022`); sparse-frame key-frame control
+with CFG index doubling and zero-filled re-scatter (`:1025-1082`); adapter conditioned
+on the CLIP image embedding (`:1036-1049`); DDIM over (b*f)-flattened latents
+(`:1106-1115`).
+
+TPU-native deltas (outputs unchanged):
+- masked experts are never computed (the reference runs every loaded ControlNet);
+- router weights for equal/simple router types are timestep-independent, so they are
+  computed once outside the scan;
+- sparse gather/scatter uses static frame indices -> fixed-shape XLA gather/scatter;
+- the controlnet_keep window splits the loop into static phases (see common.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.adapter import ControlNetAdapter
+from ..models.controlnet import ControlNetModel
+from ..models.router import ControlNetRouter, fuse_expert_residuals
+from ..models.unet_i2vgen import I2VGenXLUNet
+from ..models.vae import AutoencoderKL
+from ..ops.resize import adaptive_avg_pool2d
+from ..schedulers.ddim import DDIMConfig, DDIMScheduler
+from .common import classifier_free_guidance, control_window
+
+
+@dataclass(eq=False)
+class I2VGenXLControlNetAdapterPipeline:
+    unet: I2VGenXLUNet
+    controlnet: ControlNetModel  # shared architecture across experts
+    adapter: ControlNetAdapter
+    vae: AutoencoderKL
+    router: Optional[ControlNetRouter] = None
+    scheduler: DDIMScheduler = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.scheduler is None:
+            self.scheduler = DDIMScheduler(DDIMConfig())
+
+    # --------------------------------------------------------------- sampling
+    @partial(
+        jax.jit,
+        static_argnums=(0, 9, 10, 11, 12, 13, 14),
+    )
+    def _sample(
+        self,
+        params: Dict[str, Any],  # unet/vae/adapter/{controlnet_0..}/router
+        latents: jnp.ndarray,  # (b, f, h, w, 4) * init noise
+        prompt_embeds: jnp.ndarray,  # (2b, 77, 1024) [neg; pos]
+        controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
+        image_embeddings: jnp.ndarray,  # (2b, 1, 1024) [zeros; emb]
+        image_latents: jnp.ndarray,  # (2b, f, h, w, 4) frame-position-masked
+        fps: jnp.ndarray,  # (2b,)
+        control_images: jnp.ndarray,  # (E, 2b*f, 8s, 8s, 3)
+        num_inference_steps: int,
+        window: Tuple[int, int],
+        sparse_frames: Optional[Tuple[int, ...]],
+        expert_mask: Tuple[bool, ...],  # static; True = active
+        skip_conv_in: bool,
+        control_latent_size: int,
+        conditioning_scale: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+    ) -> jnp.ndarray:
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        b, num_frames, h, w, c = latents.shape
+        num_experts = len(expert_mask)
+        active = [e for e in range(num_experts) if expert_mask[e]]
+
+        # Router weights are constant across steps for equal/simple router types
+        # (reference recomputes identical weights per step, `:971-994`).
+        if self.router is not None and num_experts > 1:
+            mask_arr = jnp.asarray([1.0 if m else 0.0 for m in expert_mask])
+            down_w_full, mid_w_full = self.router.apply(params["router"], sparse_mask=mask_arr)
+            down_w = down_w_full[:, jnp.asarray(active)]  # (12, E_active)
+            # renormalization is already handled by the masked softmax
+            mid_w = mid_w_full[jnp.asarray(active)] if mid_w_full is not None else None
+        else:
+            down_w = jnp.ones((13, len(active)))
+            mid_w = jnp.ones((len(active),))
+
+        cn_prompt_rep = jnp.repeat(controlnet_prompt_embeds, num_frames, axis=0)
+        adapter_ehs = image_embeddings[-1:]  # (1, 1, 1024), broadcast in adapter
+
+        use_mid = "M" in self.adapter.adapter_locations
+
+        def unet_step(lat, i, residuals, mid_residual):
+            t = state.timesteps[i].astype(jnp.float32)
+            lmi = jnp.concatenate([lat, lat], axis=0)  # (2b, f, h, w, 4)
+            noise_pred = self.unet.apply(
+                params["unet"], lmi, jnp.broadcast_to(t, (2 * b,)), fps,
+                image_latents, image_embeddings, prompt_embeds,
+                down_block_additional_residuals=residuals,
+                mid_block_additional_residual=mid_residual,
+            )
+            noise_pred = classifier_free_guidance(noise_pred, guidance_scale)
+            return DDIMScheduler.step(state, noise_pred, i, lat)
+
+        def controlled_body(lat, i):
+            t = state.timesteps[i].astype(jnp.float32)
+            lmi = jnp.concatenate([lat, lat], axis=0)
+            flat = lmi.reshape(2 * b * num_frames, h, w, c)
+            s = control_latent_size
+            pooled = adaptive_avg_pool2d(flat, (s, s))
+            tb = jnp.broadcast_to(t, (pooled.shape[0],))
+
+            per_down, per_mid = [], []
+            for e in active:
+                downs, mid = self.controlnet.apply(
+                    params[f"controlnet_{e}"], pooled, tb, cn_prompt_rep,
+                    control_images[e], conditioning_scale=conditioning_scale,
+                    skip_conv_in=skip_conv_in,
+                )
+                per_down.append(downs)
+                per_mid.append(mid)
+            fused_down, fused_mid = fuse_expert_residuals(per_down, per_mid, down_w, mid_w)
+
+            # sparse key-frame selection (static indices; CFG doubling `:1025-1033`)
+            if sparse_frames is not None:
+                idx = list(sparse_frames) + [p + num_frames for p in sparse_frames]
+                idx_arr = jnp.asarray(idx)
+                adapter_frames = len(sparse_frames)
+                sel_down = [d[idx_arr] for d in fused_down]
+                sel_mid = fused_mid[idx_arr] if use_mid else None
+            else:
+                adapter_frames = num_frames
+                sel_down = fused_down
+                sel_mid = fused_mid if use_mid else None
+
+            adapted_down, adapted_mid = self.adapter.apply(
+                params["adapter"], sel_down, sel_mid,
+                num_frames=adapter_frames, timestep=t, encoder_hidden_states=adapter_ehs,
+            )
+
+            # dense zero-filled re-scatter (`:1052-1082`)
+            if sparse_frames is not None:
+                full_down = []
+                for a in adapted_down:
+                    dense = jnp.zeros((2 * b * num_frames,) + a.shape[1:], a.dtype)
+                    full_down.append(dense.at[idx_arr].set(a))
+                if adapted_mid is not None:
+                    dense = jnp.zeros((2 * b * num_frames,) + adapted_mid.shape[1:],
+                                      adapted_mid.dtype)
+                    adapted_mid = dense.at[idx_arr].set(adapted_mid)
+                adapted_down = full_down
+
+            return unet_step(lat, i, adapted_down, adapted_mid), None
+
+        def plain_body(lat, i):
+            return unet_step(lat, i, None, None), None
+
+        lo, hi = window
+        if lo > 0:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
+        if hi > lo:
+            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
+        if num_inference_steps > hi:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+        return latents
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode(self, vae_params, latents: jnp.ndarray, scaling_factor: float) -> jnp.ndarray:
+        b, f, h, w, c = latents.shape
+        flat = latents.reshape(b * f, h, w, c) / scaling_factor
+        video = self.vae.apply(vae_params, flat, method="decode")
+        video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
+        return video.reshape(b, f, *video.shape[1:])
+
+    # ------------------------------------------------------------------ API
+    def generate(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        prompt_embeds: jnp.ndarray,  # (2b, 77, 1024)
+        controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
+        image_embeddings: jnp.ndarray,  # (b, 1, 1024) positive only
+        first_frame_latent: jnp.ndarray,  # (b, h/8, w/8, 4) unscaled VAE sample
+        control_images: jnp.ndarray,  # (E, b*f, 512, 512, 3) or (b*f, 512, 512, 3)
+        height: int = 512,
+        width: int = 512,
+        num_frames: int = 16,
+        target_fps: int = 16,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 9.0,
+        controlnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 0.8,
+        sparse_frames: Optional[Sequence[int]] = None,
+        inference_expert_masks: Optional[Sequence[bool]] = None,
+        skip_conv_in: bool = False,
+        vae_scaling_factor: float = 0.18215,
+        control_latent_size: int = 64,
+        latents: Optional[jnp.ndarray] = None,
+        output_type: str = "np",
+    ):
+        b = image_embeddings.shape[0]
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        if latents is None:
+            latents = jax.random.normal(
+                rng, (b, num_frames, height // 8, width // 8, 4), jnp.float32
+            )
+
+        # frame-position-mask image latents (`:487-517`)
+        il = first_frame_latent * vae_scaling_factor  # (b, h/8, w/8, 4)
+        scales = jnp.concatenate(
+            [jnp.ones((1,)), jnp.arange(1, num_frames, dtype=jnp.float32) / (num_frames - 1)]
+        )  # frame 0 = latent, rest = position mask
+        ones = jnp.ones_like(il)
+        il_frames = jnp.stack(
+            [il if i == 0 else ones * scales[i] for i in range(num_frames)], axis=1
+        )  # (b, f, h/8, w/8, 4)
+        image_latents = jnp.concatenate([il_frames, il_frames], axis=0)  # CFG
+
+        # CFG image embeddings: [zeros; emb] (`:392-394`)
+        image_embeddings_cfg = jnp.concatenate(
+            [jnp.zeros_like(image_embeddings), image_embeddings], axis=0
+        )
+
+        if control_images.ndim == 4:
+            control_images = control_images[None]
+        num_experts = control_images.shape[0]
+        # duplicate for CFG: (E, 2b*f, ...)
+        control_images = jnp.concatenate([control_images, control_images], axis=1)
+
+        expert_mask = tuple(
+            bool(m) for m in (inference_expert_masks or [True] * num_experts)
+        )
+        window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+        fps = jnp.full((2 * b,), float(target_fps), jnp.float32)
+
+        latents = self._sample(
+            params, latents, prompt_embeds, controlnet_prompt_embeds,
+            image_embeddings_cfg, image_latents, fps, control_images,
+            num_inference_steps, window,
+            tuple(int(i) for i in sparse_frames) if sparse_frames is not None else None,
+            expert_mask, skip_conv_in, control_latent_size,
+            jnp.asarray(controlnet_conditioning_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
+        if output_type == "latent":
+            return latents
+        return self._decode(params["vae"], latents, vae_scaling_factor)

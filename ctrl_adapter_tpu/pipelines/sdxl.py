@@ -1,0 +1,176 @@
+"""SDXL + Ctrl-Adapter inference pipeline — one jitted program per control phase.
+
+Parity target: reference `sdxl/pipelines/sdxl_controlnet_adapter_pipeline.py`
+(`:1278-1436`): CFG-doubled batch, stock-SDXL EulerDiscrete scheduler, latents pooled
+to 64x64 + control image at 512 for the SD-v1.5 ControlNet (`:1305-1312`), adapter with
+``num_frames=1`` and SDXL 2x upsampling, residuals into the first 9 UNet skips,
+``mid_block_additional_residual = 0`` (`:1356-1366`), VAE decode.
+
+TPU-native design:
+- the denoising loop is split into (control-window, tail) ``lax.scan`` phases — steps
+  outside ``control_guidance_[start,end]`` never execute the ControlNet/adapter;
+- everything (ControlNet -> adapter -> UNet -> CFG -> scheduler step) is one fused XLA
+  program per phase; no host sync per step;
+- text encoders run outside (host-level preprocessing), the pipeline consumes
+  precomputed embeddings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.adapter import ControlNetAdapter
+from ..models.controlnet import ControlNetModel
+from ..models.unet_2d import UNet2DConditionModel
+from ..models.vae import AutoencoderKL
+from ..ops.resize import adaptive_avg_pool2d
+from ..schedulers.euler_discrete import EulerDiscreteConfig, EulerDiscreteScheduler
+from .common import classifier_free_guidance, control_window, sdxl_add_time_ids
+
+
+@dataclass(eq=False)  # identity hash: the pipeline object is a static jit argument
+class SDXLControlNetAdapterPipeline:
+    """Bundles frozen modules; ``generate`` builds/runs the jitted sampling program.
+
+    Params are passed explicitly (functional) so the same pipeline object serves
+    training-validation and inference without re-tracing per weight update.
+    """
+
+    unet: UNet2DConditionModel
+    controlnet: ControlNetModel
+    adapter: ControlNetAdapter
+    vae: AutoencoderKL
+    scheduler: EulerDiscreteScheduler = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.scheduler is None:
+            self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
+
+    @partial(jax.jit, static_argnums=(0, 8, 9, 12, 13, 14))
+    def _sample(
+        self,
+        params: Dict[str, Any],
+        latents: jnp.ndarray,  # (b, h/8, w/8, 4), already scaled by init_noise_sigma
+        prompt_embeds: jnp.ndarray,  # (2b, 77, 2048) [neg; pos]
+        add_text_embeds: jnp.ndarray,  # (2b, 1280)
+        add_time_ids: jnp.ndarray,  # (2b, 6)
+        controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
+        control_image: jnp.ndarray,  # (2b, 8s, 8s, 3) in [0,1]
+        num_inference_steps: int,
+        window: Tuple[int, int],
+        conditioning_scale: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+        skip_conv_in: bool,
+        skip_time_emb: bool,
+        control_latent_size: int = 64,
+    ) -> jnp.ndarray:
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        added = {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
+
+        def unet_step(lat, i, residuals, mid_residual):
+            t = state.timesteps[i]
+            lmi = jnp.concatenate([lat, lat], axis=0)
+            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            tb = jnp.broadcast_to(t, (lmi.shape[0],))
+            noise_pred = self.unet.apply(
+                params["unet"], lmi, tb, prompt_embeds, added,
+                down_block_additional_residuals=residuals,
+                mid_block_additional_residual=mid_residual,
+            )
+            noise_pred = classifier_free_guidance(noise_pred, guidance_scale)
+            return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
+
+        def controlled_body(lat, i):
+            t = state.timesteps[i]
+            lmi = jnp.concatenate([lat, lat], axis=0)
+            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            # 64x64 latent + 512 control image bridge (reference `:1305-1312`);
+            # size parameterized (s, 8s) so tests exercise the contract at small scale.
+            s = control_latent_size
+            pooled = adaptive_avg_pool2d(lmi, (s, s))
+            tb = jnp.broadcast_to(t, (lmi.shape[0],))
+            downs, mid = self.controlnet.apply(
+                params["controlnet"], pooled, tb, controlnet_prompt_embeds, control_image,
+                conditioning_scale=conditioning_scale,
+                skip_conv_in=skip_conv_in, skip_time_emb=skip_time_emb,
+            )
+            adapted, _ = self.adapter.apply(
+                params["adapter"], downs, None,
+                num_frames=1, timestep=tb, encoder_hidden_states=prompt_embeds,
+            )
+            # mid_block_additional_residual=0 keeps diffusers' is_controlnet branch
+            # semantics (reference `:1364`); adding 0 is a no-op, so pass the residuals
+            # with a zero mid.
+            return unet_step(lat, i, adapted, jnp.zeros((), latents.dtype)), None
+
+        def plain_body(lat, i):
+            return unet_step(lat, i, None, None), None
+
+        lo, hi = window
+        if lo > 0:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
+        if hi > lo:
+            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
+        if num_inference_steps > hi:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+        return latents
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode(self, vae_params, latents: jnp.ndarray, scaling_factor: float) -> jnp.ndarray:
+        img = self.vae.apply(vae_params, latents / scaling_factor, method="decode")
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    def generate(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        prompt_embeds: jnp.ndarray,
+        add_text_embeds: jnp.ndarray,
+        controlnet_prompt_embeds: jnp.ndarray,
+        control_image: jnp.ndarray,  # (b, 512, 512, 3) in [0,1]
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        controlnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 0.6,
+        skip_conv_in: bool = False,
+        skip_time_emb: bool = False,
+        original_size: Optional[Tuple[int, int]] = None,
+        vae_scaling_factor: float = 0.13025,
+        latents: Optional[jnp.ndarray] = None,
+        control_latent_size: int = 64,
+        output_type: str = "pil",
+    ):
+        """Host-level wrapper: prepares CFG batches/latents, runs the jitted phases."""
+        batch = prompt_embeds.shape[0] // 2
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        if latents is None:
+            latents = jax.random.normal(rng, (batch, height // 8, width // 8, 4), jnp.float32)
+        latents = latents * state.init_noise_sigma
+
+        add_time_ids = sdxl_add_time_ids(
+            original_size or (height, width), (0, 0), (height, width), batch * 2,
+            dtype=prompt_embeds.dtype,
+        )
+        if control_image.shape[0] == batch:
+            control_image = jnp.concatenate([control_image, control_image], axis=0)
+
+        window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+        latents = self._sample(
+            params, latents, prompt_embeds, add_text_embeds, add_time_ids,
+            controlnet_prompt_embeds, control_image, num_inference_steps, window,
+            jnp.asarray(controlnet_conditioning_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32),
+            skip_conv_in, skip_time_emb, control_latent_size,
+        )
+        image = self._decode(params["vae"], latents, vae_scaling_factor)
+        if output_type == "latent":
+            return latents
+        return image

@@ -1,0 +1,224 @@
+"""SVD (Stable Video Diffusion) + Ctrl-Adapter pipeline — jitted phase scans.
+
+Parity target: reference `svd/pipelines/svd_controlnet_adapter_pipeline.py`
+(`:361-785`):
+- EulerDiscrete/EDM backbone (Karras sigmas [0.002, 700]); UNet consumes the
+  continuous timestep t = 0.25*log(sigma) while the SD-v1.5 ControlNet gets the
+  **discrete remap** ``u = 1000 - (i+1)*(1000//steps) + 1`` (`:673-681`) — the
+  timestep-domain bridge that makes a frozen image ControlNet drive a video EDM model;
+- ``skip_conv_in=True`` recommended (latents skipping): the ControlNet tower sees only
+  the condition image (`:684-694`);
+- per-frame guidance scale linspace 1 -> 3 (`:614-620`);
+- 8-channel UNet input: scaled noisy latents concat VAE image latents (CFG negative
+  half = zeros);
+- sparse key frames with CFG doubling + zero re-scatter (`:697-749`);
+- the text prompt conditions ONLY the ControlNet (SVD itself is text-free, `:514-525`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.adapter import ControlNetAdapter
+from ..models.controlnet import ControlNetModel
+from ..models.unet_svd import UNetSpatioTemporalConditionModel
+from ..models.vae import AutoencoderKL
+from ..ops.resize import adaptive_avg_pool2d
+from ..schedulers.euler_discrete import SVD_EULER_CONFIG, EulerDiscreteScheduler
+from .common import control_window
+
+
+def controlnet_timestep_remap(num_inference_steps: int) -> np.ndarray:
+    """Equal-distance discrete timesteps for the ControlNet: step i ->
+    1000 - (i+1)*(1000//steps) + 1 (reference `svd_...py:673-681`)."""
+    interval = 1000 // num_inference_steps
+    return np.asarray(
+        [1000 - (i + 1) * interval + 1 for i in range(num_inference_steps)], dtype=np.float32
+    )
+
+
+@dataclass(eq=False)
+class SVDControlNetAdapterPipeline:
+    unet: UNetSpatioTemporalConditionModel
+    controlnet: ControlNetModel
+    adapter: ControlNetAdapter
+    vae: AutoencoderKL
+    scheduler: EulerDiscreteScheduler = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.scheduler is None:
+            self.scheduler = EulerDiscreteScheduler(SVD_EULER_CONFIG)
+
+    @partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12))
+    def _sample(
+        self,
+        params: Dict[str, Any],
+        latents: jnp.ndarray,  # (b, f, h, w, 4) * init_noise_sigma
+        image_latents: jnp.ndarray,  # (2b, f, h, w, 4) [zeros; vae-mode latents]
+        image_embeddings: jnp.ndarray,  # (2b, 1, 1024) [zeros; emb]
+        controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
+        added_time_ids: jnp.ndarray,  # (2b, 3)
+        control_images: jnp.ndarray,  # (2b*f, 8s, 8s, 3)
+        num_inference_steps: int,
+        window: Tuple[int, int],
+        sparse_frames: Optional[Tuple[int, ...]],
+        skip_conv_in: bool,
+        control_latent_size: int,
+        conditioning_scale: jnp.ndarray,
+        guidance: jnp.ndarray,  # (f,) per-frame linspace
+    ) -> jnp.ndarray:
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        cn_timesteps = jnp.asarray(controlnet_timestep_remap(num_inference_steps))
+        b, num_frames, h, w, c = latents.shape
+        cn_prompt_rep = jnp.repeat(controlnet_prompt_embeds, num_frames, axis=0)
+        adapter_ehs = image_embeddings[-1:]  # positive CLIP image emb, broadcast
+        use_mid = "M" in self.adapter.adapter_locations
+        guidance_b = guidance[None, :, None, None, None]
+
+        def unet_step(lat, i, residuals, mid_residual):
+            t = state.timesteps[i]
+            lmi = jnp.concatenate([lat, lat], axis=0)
+            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            lmi = jnp.concatenate([lmi, image_latents], axis=-1)  # (2b, f, h, w, 8)
+            noise_pred = self.unet.apply(
+                params["unet"], lmi, jnp.broadcast_to(t, (2 * b,)),
+                image_embeddings, added_time_ids,
+                down_block_additional_residuals=residuals,
+                mid_block_additional_residual=mid_residual,
+            )
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance_b * (cond - uncond)  # per-frame CFG (`:768-774`)
+            return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
+
+        def controlled_body(lat, i):
+            lmi = jnp.concatenate([lat, lat], axis=0)
+            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            flat = lmi.reshape(2 * b * num_frames, h, w, c)  # first 4 channels only
+            s = control_latent_size
+            pooled = adaptive_avg_pool2d(flat, (s, s))
+            u = cn_timesteps[i]
+            tb = jnp.broadcast_to(u, (pooled.shape[0],))
+            downs, mid = self.controlnet.apply(
+                params["controlnet"], pooled, tb, cn_prompt_rep, control_images,
+                conditioning_scale=conditioning_scale, skip_conv_in=skip_conv_in,
+            )
+
+            if sparse_frames is not None:
+                idx = list(sparse_frames) + [p + num_frames for p in sparse_frames]
+                idx_arr = jnp.asarray(idx)
+                adapter_frames = len(sparse_frames)
+                downs = [d[idx_arr] for d in downs]
+                mid_sel = mid[idx_arr] if use_mid else None
+            else:
+                adapter_frames = num_frames
+                mid_sel = mid if use_mid else None
+                idx_arr = None
+
+            adapted_down, adapted_mid = self.adapter.apply(
+                params["adapter"], downs, mid_sel,
+                num_frames=adapter_frames, timestep=u, encoder_hidden_states=adapter_ehs,
+            )
+            if sparse_frames is not None:
+                full = []
+                for a in adapted_down:
+                    dense = jnp.zeros((2 * b * num_frames,) + a.shape[1:], a.dtype)
+                    full.append(dense.at[idx_arr].set(a))
+                adapted_down = full
+                if adapted_mid is not None:
+                    dense = jnp.zeros((2 * b * num_frames,) + adapted_mid.shape[1:],
+                                      adapted_mid.dtype)
+                    adapted_mid = dense.at[idx_arr].set(adapted_mid)
+
+            return unet_step(lat, i, adapted_down, adapted_mid), None
+
+        def plain_body(lat, i):
+            return unet_step(lat, i, None, None), None
+
+        lo, hi = window
+        if lo > 0:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
+        if hi > lo:
+            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
+        if num_inference_steps > hi:
+            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+        return latents
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode(self, vae_params, latents: jnp.ndarray, scaling_factor: float) -> jnp.ndarray:
+        b, f, h, w, c = latents.shape
+        flat = latents.reshape(b * f, h, w, c) / scaling_factor
+        video = self.vae.apply(vae_params, flat, method="decode")
+        video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
+        return video.reshape(b, f, *video.shape[1:])
+
+    def generate(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        image_embeddings: jnp.ndarray,  # (b, 1, 1024)
+        image_latent: jnp.ndarray,  # (b, h/8, w/8, 4) VAE-mode latent of the image
+        controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
+        control_images: jnp.ndarray,  # (b*f, 512, 512, 3)
+        height: int = 512,
+        width: int = 512,
+        num_frames: int = 14,
+        fps: int = 7,
+        motion_bucket_id: int = 127,
+        noise_aug_strength: float = 0.02,
+        num_inference_steps: int = 25,
+        min_guidance_scale: float = 1.0,
+        max_guidance_scale: float = 3.0,
+        controlnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 0.8,
+        sparse_frames: Optional[Sequence[int]] = None,
+        skip_conv_in: bool = True,
+        vae_scaling_factor: float = 0.18215,
+        control_latent_size: int = 64,
+        latents: Optional[jnp.ndarray] = None,
+        output_type: str = "np",
+    ):
+        b = image_embeddings.shape[0]
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        if latents is None:
+            latents = jax.random.normal(
+                rng, (b, num_frames, height // 8, width // 8, 4), jnp.float32
+            )
+        latents = latents * state.init_noise_sigma
+
+        # image latents repeated per frame; CFG negative half = zeros
+        il = jnp.repeat(image_latent[:, None], num_frames, axis=1)  # (b, f, h/8, w/8, 4)
+        image_latents = jnp.concatenate([jnp.zeros_like(il), il], axis=0)
+
+        image_embeddings_cfg = jnp.concatenate(
+            [jnp.zeros_like(image_embeddings), image_embeddings], axis=0
+        )
+        # added time ids: (fps-1, motion bucket, aug strength) (`utils_svd.py:5-9`)
+        tids = jnp.asarray(
+            [[float(fps - 1), float(motion_bucket_id), float(noise_aug_strength)]],
+            jnp.float32,
+        )
+        added_time_ids = jnp.tile(tids, (2 * b, 1))
+
+        control_images = jnp.concatenate([control_images, control_images], axis=0)
+        guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, num_frames)
+        window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+
+        latents = self._sample(
+            params, latents, image_latents, image_embeddings_cfg,
+            controlnet_prompt_embeds, added_time_ids, control_images,
+            num_inference_steps, window,
+            tuple(int(i) for i in sparse_frames) if sparse_frames is not None else None,
+            skip_conv_in, control_latent_size,
+            jnp.asarray(controlnet_conditioning_scale, jnp.float32),
+            guidance,
+        )
+        if output_type == "latent":
+            return latents
+        return self._decode(params["vae"], latents, vae_scaling_factor)

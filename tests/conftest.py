@@ -7,8 +7,10 @@ benchmarks live in ``bench.py``, not in the test suite.
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before jax initializes a backend. NOTE: this image force-sets
+# JAX_PLATFORMS=axon (real TPU via sitecustomize), so a plain setdefault is not
+# enough — override both the env and the live config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: repeated test runs skip recompiles (single-core host).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

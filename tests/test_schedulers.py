@@ -5,6 +5,8 @@ import jax.numpy as jnp
 
 from ctrl_adapter_tpu.schedulers.ddim import DDIMConfig, DDIMScheduler
 from ctrl_adapter_tpu.schedulers.euler_discrete import (
+    SVD_EULER_CONFIG,
+    EulerDiscreteConfig,
     EulerDiscreteScheduler,
     karras_sigmas,
     sample_training_sigmas_timesteps,
@@ -67,8 +69,28 @@ def test_karras_table_endpoints():
     assert np.all(np.diff(s) < 0)
 
 
+def test_euler_epsilon_sdxl_variant():
+    """SDXL stock scheduler: beta-derived sigmas, leading spacing, epsilon step."""
+    sched = EulerDiscreteScheduler(EulerDiscreteConfig())
+    state = sched.set_timesteps(50)
+    ts = np.asarray(state.timesteps)
+    assert ts[0] == 981 and ts[-1] == 1
+    sigmas = np.asarray(state.sigmas)
+    assert sigmas[-1] == 0.0 and np.all(np.diff(sigmas) < 0)
+    # perfect-epsilon reconstruction
+    rng = np.random.default_rng(5)
+    x0 = np.asarray(rng.normal(size=(1, 2, 2, 4)).astype(np.float32))
+    eps = np.asarray(rng.normal(size=(1, 2, 2, 4)).astype(np.float32))
+    sample = jnp.asarray(x0 + float(state.sigmas[0]) * eps)
+    for i in range(50):
+        sigma = float(state.sigmas[i])
+        eps_t = (np.asarray(sample) - x0) / sigma
+        sample = EulerDiscreteScheduler.step(state, jnp.asarray(eps_t), jnp.asarray(i), sample)
+    np.testing.assert_allclose(np.asarray(sample), x0, rtol=1e-3, atol=1e-3)
+
+
 def test_euler_edm_perfect_model_recovers_x0():
-    sched = EulerDiscreteScheduler()
+    sched = EulerDiscreteScheduler(SVD_EULER_CONFIG)
     state = sched.set_timesteps(25)
     rng = np.random.default_rng(2)
     x0 = np.asarray(rng.normal(size=(1, 2, 2, 4)).astype(np.float32))

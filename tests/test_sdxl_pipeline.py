@@ -1,0 +1,101 @@
+"""End-to-end SDXL pipeline test on tiny modules: shapes, control window phases."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+from ctrl_adapter_tpu.models.controlnet import ControlNetConfig, ControlNetModel
+from ctrl_adapter_tpu.models.unet_2d import UNet2DConfig, UNet2DConditionModel
+from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+from ctrl_adapter_tpu.pipelines.common import control_window, controlnet_keep_schedule
+from ctrl_adapter_tpu.pipelines.sdxl import SDXLControlNetAdapterPipeline
+from .utils import fake_init
+
+
+def test_control_window_matches_keep_schedule():
+    for start, end, steps in [(0.0, 0.6, 50), (0.0, 1.0, 50), (0.2, 0.8, 25), (0.0, 0.0, 10)]:
+        keeps = controlnet_keep_schedule(steps, start, end)
+        lo, hi = control_window(steps, start, end)
+        assert keeps == [1.0 if lo <= i < hi else 0.0 for i in range(steps)]
+    assert control_window(50, 0.0, 0.6) == (0, 30)
+
+
+@pytest.mark.slow
+def test_sdxl_pipeline_end_to_end():
+    """SDXL stack through the full generate() path at 1/8 scale and thin widths.
+
+    Channel coupling mirrors the real pairing (ControlNet towers share the backbone's
+    block widths): UNet (32,64,64), ControlNet (32,64,64,64), adapter channel tables
+    overridden to the matching residual widths. Spatial dims shrink 8x: latents 16x16
+    (vs 128), control bridge pools to 8x8 + 64x64 condition image (vs 64/512 — same
+    1:8 contract), adapter 2x SDXL upsample maps 8->16.
+    """
+    unet_cfg = UNet2DConfig(
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+        block_out_channels=(32, 64, 64),
+        transformer_layers_per_block=(1, 2, 2),
+        num_attention_heads=(2, 2, 2),
+        cross_attention_dim=32,
+        use_linear_projection=True,
+        norm_num_groups=16,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 48,
+    )
+    cnet_cfg = ControlNetConfig(
+        block_out_channels=(32, 64, 64, 64),
+        num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24,
+        conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16,
+    )
+    unet = UNet2DConditionModel(config=unet_cfg)
+    cnet = ControlNetModel(config=cnet_cfg)
+    adapter = ControlNetAdapter(
+        backbone_model_name="sdxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C"),
+        add_temporal_resnet=False, add_temporal_transformer=False,
+        custom_down_block_channels=(32, 32, 32, 32, 64, 64, 64, 64, 64),
+        attention_head_dim=16,
+    )
+    vae = AutoencoderKL(config=VAEConfig(block_out_channels=(16, 16, 16, 16),
+                                         norm_num_groups=8, layers_per_block=1))
+
+    b = 1
+    prompt_embeds = jnp.ones((2 * b, 7, 32)) * 0.1
+    add_text_embeds = jnp.ones((2 * b, 16)) * 0.1
+    cn_prompt = jnp.ones((2 * b, 7, 24)) * 0.1
+    control_image = jnp.ones((b, 64, 64, 3)) * 0.5  # stands in for 512x512
+    latent_hw = 16  # stands in for 128 (so adapter upsamples 8->16)
+
+    pipeline = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+
+    sample = jnp.ones((2 * b, latent_hw, latent_hw, 4))
+    t = jnp.zeros((2 * b,))
+    pooled8 = jnp.ones((2 * b, 8, 8, 4))
+    params = {
+        "unet": fake_init(unet, sample, t, prompt_embeds,
+                          {"text_embeds": add_text_embeds, "time_ids": jnp.ones((2 * b, 6))}),
+        "controlnet": fake_init(cnet, pooled8, t, cn_prompt, jnp.ones((2 * b, 64, 64, 3))),
+        "vae": fake_init(vae, jnp.ones((b, 64, 64, 3))),
+    }
+    downs_shapes, mid_shape = jax.eval_shape(
+        lambda: cnet.apply(params["controlnet"], pooled8, t, cn_prompt, jnp.ones((2 * b, 64, 64, 3)))
+    )
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_shapes], None, 1, t, prompt_embeds
+    )
+
+    image = pipeline.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, height=latent_hw * 8, width=latent_hw * 8,
+        num_inference_steps=8, guidance_scale=7.5, control_guidance_end=0.5,
+        control_latent_size=8,
+    )
+    # tiny VAE here upsamples 8x from latents
+    assert image.shape == (b, latent_hw * 8, latent_hw * 8, 3)
+    arr = np.asarray(image)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0

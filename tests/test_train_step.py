@@ -1,0 +1,112 @@
+"""Data-parallel train step on the virtual 8-device CPU mesh.
+
+What the reference only exercises by actually running `accelerate launch`
+(SURVEY §4/§2.4), we test hermetically: batch sharded over a `data` mesh, adapter
+gradients all-reduced by XLA, one AdamW update.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+from ctrl_adapter_tpu.models.controlnet import ControlNetConfig, ControlNetModel
+from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet, I2VGenXLUNetConfig
+from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+from ctrl_adapter_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from ctrl_adapter_tpu.train.trainer import CtrlAdapterTrainer, TrainConfig
+from .utils import fake_init
+
+THIN_CHANNELS = (32, 32, 32, 32, 32, 32, 32, 64, 64, 64, 64, 64)
+
+
+def _build(num_frames=2, hw=8):
+    cfg = TrainConfig(
+        model_name="i2vgenxl", n_sample_frames=num_frames, control_latent_size=hw,
+        vae_scaling_factor=0.18215, num_experts=1,
+    )
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=ControlNetConfig(
+        block_out_channels=(32, 32, 64, 64), num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24, conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16))
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C", "D", "M"),
+        add_temporal_resnet=True, add_temporal_transformer=True,
+        custom_down_block_channels=THIN_CHANNELS, custom_mid_block_channels=64,
+        attention_head_dim=16)
+    vae = AutoencoderKL(config=VAEConfig(
+        block_out_channels=(16, 16, 16, 16), norm_num_groups=8, layers_per_block=1))
+    return CtrlAdapterTrainer(cfg, unet, cnet, adapter, vae)
+
+
+def _params_and_batch(trainer, b, f, hw):
+    unet, cnet, adapter, vae = trainer.unet, trainer.controlnet, trainer.adapter, trainer.vae
+    frozen = {
+        "unet": fake_init(unet, jnp.ones((b, f, hw, hw, 4)), jnp.ones((b,)),
+                          jnp.ones((b,)), jnp.ones((b, f, hw, hw, 4)),
+                          jnp.ones((b, 1, 32)), jnp.ones((b, 7, 32))),
+        "vae": fake_init(vae, jnp.ones((1, 8 * hw, 8 * hw, 3))),
+    }
+    cn_args = (jnp.ones((b * f, hw, hw, 4)), jnp.ones((b * f,)),
+               jnp.ones((b * f, 7, 24)), jnp.ones((b * f, 8 * hw, 8 * hw, 3)))
+    frozen["controlnet_0"] = fake_init(cnet, *cn_args)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(frozen["controlnet_0"], *cn_args))
+    trainable = {"adapter": fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        f, jnp.ones((b * f,)), jnp.ones((1, 1, 32)))}
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(-1, 1, (b, f, 8 * hw, 8 * hw, 3)).astype(np.float32)),
+        "controlnet_cond": jnp.asarray(
+            rng.uniform(0, 1, (1, b * f, 8 * hw, 8 * hw, 3)).astype(np.float32)),
+        "controlnet_text_emb": jnp.ones((b, 7, 24)) * 0.1,
+        "prompt_embeds": jnp.ones((b, 7, 32)) * 0.1,
+        "image_embeddings": jnp.ones((b, 1, 32)) * 0.1,
+    }
+    return trainable, frozen, batch
+
+
+@pytest.mark.slow
+def test_train_step_updates_adapter_dp8():
+    assert jax.device_count() == 8, "conftest must force 8 virtual CPU devices"
+    mesh = create_mesh(8)
+    trainer = _build()
+    b, f, hw = 8, 2, 8
+    trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+
+    trainable_r = replicate(mesh, trainable)
+    frozen_r = replicate(mesh, frozen)
+    opt_r = replicate(mesh, opt_state)
+    batch_s = shard_batch(mesh, {k: v for k, v in batch.items() if k != "controlnet_cond"})
+    # expert-major tensor shards on axis 1 (batch) — keep replicated for simplicity
+    batch_s["controlnet_cond"] = replicate(mesh, batch["controlnet_cond"])
+
+    new_trainable, new_opt, metrics = trainer.train_step(
+        trainable_r, opt_r, frozen_r, batch_s, None, jax.random.PRNGKey(0)
+    )
+
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss) and loss > 0
+    # adapter params actually moved
+    delta = jax.tree.reduce(
+        lambda acc, pair: acc + float(jnp.abs(pair).sum()),
+        jax.tree.map(lambda a, b_: a - b_, new_trainable, trainable_r), 0.0)
+    assert delta > 0
+
+
+@pytest.mark.slow
+def test_train_step_sparse_frames_single_device():
+    trainer = _build(num_frames=4)
+    b, f, hw = 2, 4, 8
+    trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+    new_trainable, _, metrics = trainer.train_step(
+        trainable, opt_state, frozen, batch, (0, 2), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
