@@ -73,6 +73,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--max_grad_norm", type=float, default=1.0)
     add("--noise_offset", type=float, default=0.05)
     add("--snr_gamma", type=float, default=None)
+    add("--latent_nan_checking", type=bool, default=False)
     add("--max_train_steps", type=int, default=50000)
     add("--gradient_accumulation_steps", type=int, default=1)
     add("--checkpointing_steps", type=int, default=2000)

@@ -297,6 +297,11 @@ class ControlNetAdapter(nn.Module):
     custom_down_block_channels: Optional[Tuple[int, ...]] = None
     custom_mid_block_channels: Optional[int] = None
     attention_head_dim: int = 64
+    # Experimental (reference `model/ctrl_adapter.py:78-100,208-221`): run the adapter
+    # stack num_repeats times and aggregate each repeat's 12 outputs through
+    # zero-initialised 1x1 convs into `out_channels`-wide residuals.
+    num_repeats: int = 1
+    out_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -341,30 +346,32 @@ class ControlNetAdapter(nn.Module):
         down_block_ids = self.down_block_ids
         channels = self.down_block_channels
 
-        adapted: List[jnp.ndarray] = []
-        curr_idx = 0
-        for i in range(NUM_DOWN_BLOCKS):
-            if i in down_block_ids:
-                block = AdapterSpatioTemporal(
-                    **self._adapter_config(channels[curr_idx], up_scale),
-                    name=f"down_blocks_adapter_{curr_idx}",
-                )
-                adapted.append(
-                    block(
-                        down_block_res_samples[i],
-                        num_frames=num_frames,
-                        timestep=timestep,
-                        encoder_hidden_states=encoder_hidden_states,
+        num_active = len(down_block_ids)
+        all_repeats: List[jnp.ndarray] = []  # num_repeats * 12 entries
+        for r in range(self.num_repeats):
+            curr_idx = 0
+            for i in range(NUM_DOWN_BLOCKS):
+                if i in down_block_ids:
+                    block = AdapterSpatioTemporal(
+                        **self._adapter_config(channels[curr_idx], up_scale),
+                        name=f"down_blocks_adapter_{curr_idx + r * num_active}",
                     )
-                )
-                curr_idx += 1
-            else:
-                ref = down_block_res_samples[i]
-                if up_scale > 1:
-                    ref_shape = (ref.shape[0], ref.shape[1] * 2, ref.shape[2] * 2, ref.shape[3])
-                    adapted.append(jnp.zeros(ref_shape, dtype=ref.dtype))
+                    all_repeats.append(
+                        block(
+                            down_block_res_samples[i],
+                            num_frames=num_frames,
+                            timestep=timestep,
+                            encoder_hidden_states=encoder_hidden_states,
+                        )
+                    )
+                    curr_idx += 1
                 else:
-                    adapted.append(jnp.zeros_like(ref))
+                    ref = down_block_res_samples[i]
+                    if up_scale > 1:
+                        ref_shape = (ref.shape[0], ref.shape[1] * 2, ref.shape[2] * 2, ref.shape[3])
+                        all_repeats.append(jnp.zeros(ref_shape, dtype=ref.dtype))
+                    else:
+                        all_repeats.append(jnp.zeros_like(ref))
 
         adapted_mid: Optional[jnp.ndarray] = None
         if mid_block_res_sample is not None and "M" in self.adapter_locations:
@@ -379,4 +386,27 @@ class ControlNetAdapter(nn.Module):
                 encoder_hidden_states=encoder_hidden_states,
             )
 
-        return adapted, adapted_mid
+        if self.num_repeats > 1:
+            # Experimental aggregation (reference `:208-221`): per repeat, sum the
+            # active blocks' outputs through zero-init 1x1 convs into out_channels.
+            assert self.out_channels is not None, "num_repeats>1 requires out_channels"
+            aggregated: List[jnp.ndarray] = []
+            zero_conv_idx = 0
+            for r in range(self.num_repeats):
+                acc = 0.0
+                curr_idx = 0
+                for i in range(NUM_DOWN_BLOCKS):
+                    if i in down_block_ids:
+                        zc = nn.Conv(
+                            self.out_channels, (1, 1),
+                            kernel_init=nn.initializers.zeros,
+                            name=f"zero_convs_{zero_conv_idx}",
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                        )
+                        acc = acc + zc(all_repeats[curr_idx + NUM_DOWN_BLOCKS * r])
+                        curr_idx += 1
+                        zero_conv_idx += 1
+                aggregated.append(acc)
+            return aggregated, None
+
+        return all_repeats, adapted_mid

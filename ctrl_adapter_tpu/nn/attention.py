@@ -27,10 +27,16 @@ from .embeddings import TimestepEmbedding, Timesteps  # noqa: F401  (re-export c
 
 
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, upcast: bool = False) -> jnp.ndarray:
-    """Scaled dot-product attention over (B, T, N, H) tensors."""
+    """Scaled dot-product attention over (B, T, N, H) tensors.
+
+    Large spatial self-attention routes to the Pallas TPU flash kernel
+    (ops/flash_attention.py); small/cross attention uses XLA's fused path.
+    """
+    from ..ops.flash_attention import dot_product_attention
+
     if upcast:
         q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
-    return jax.nn.dot_product_attention(q, k, v)
+    return dot_product_attention(q, k, v)
 
 
 class Attention(nn.Module):

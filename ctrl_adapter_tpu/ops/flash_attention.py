@@ -1,0 +1,82 @@
+"""Flash attention dispatch for TPU (Pallas kernel) with XLA fallback.
+
+The hot attention in this framework is the per-frame *spatial* self-attention of the
+UNets: seq = (h/8 * w/8) tokens — 4096 at 512^2 video, 16384 at SDXL 1024^2 — at
+head_dim 64, CFG batch 2 x frames. Materialising the (seq, seq) logits in HBM is the
+dominant bandwidth cost (SURVEY §7 step 9); the Pallas flash kernel streams K/V tiles
+through VMEM instead.
+
+Dispatch rule: use the Pallas TPU flash kernel when
+- running on TPU,
+- self-attention (q_seq == kv_seq), seq >= MIN_SEQ and divisible by the block size,
+- head_dim is MXU-friendly (64 or 128).
+Everything else (cross-attention over 77 text tokens, temporal attention over <=16
+frames, VAE single-head) goes through ``jax.nn.dot_product_attention`` — XLA already
+fuses those small chains well.
+
+Enabled by default on TPU; set CTRL_ADAPTER_NO_FLASH=1 to force the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+MIN_SEQ = 1024
+_BLOCK = 512
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    if os.environ.get("CTRL_ADAPTER_NO_FLASH") == "1":
+        return False
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention  # noqa: F401
+    except Exception:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    b, tq, n, h = q.shape
+    tk = k.shape[1]
+    return (
+        tq == tk
+        and tq >= MIN_SEQ
+        and tq % _BLOCK == 0
+        and h in (64, 128)
+    )
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, N, H) attention; flash kernel on TPU for large self-attention."""
+    if _flash_available() and _eligible(q, k):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        bq = min(_BLOCK, q.shape[1])
+        bkv = min(_BLOCK, k.shape[1])
+        sizes = BlockSizes(
+            block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkv,
+            block_k_dkv=bkv, block_q_dkv=bq,
+            block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+        )
+        # kernel layout: (B, N, T, H)
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = flash_attention(
+            qt, kt, vt, causal=False, sm_scale=1.0 / (q.shape[-1] ** 0.5),
+            block_sizes=sizes,
+        )
+        return out.transpose(0, 2, 1, 3)
+    return jax.nn.dot_product_attention(q, k, v)

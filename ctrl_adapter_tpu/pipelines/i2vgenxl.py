@@ -52,7 +52,7 @@ class I2VGenXLControlNetAdapterPipeline:
     # --------------------------------------------------------------- sampling
     @partial(
         jax.jit,
-        static_argnums=(0, 9, 10, 11, 12, 13, 14),
+        static_argnums=(0, 9, 10, 11, 12, 13, 14, 17),
     )
     def _sample(
         self,
@@ -72,6 +72,7 @@ class I2VGenXLControlNetAdapterPipeline:
         control_latent_size: int,
         conditioning_scale: jnp.ndarray,
         guidance_scale: jnp.ndarray,
+        fixed_controlnet_timestep: int = -1,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         b, num_frames, h, w, c = latents.shape
@@ -113,7 +114,12 @@ class I2VGenXLControlNetAdapterPipeline:
             flat = lmi.reshape(2 * b * num_frames, h, w, c)
             s = control_latent_size
             pooled = adaptive_avg_pool2d(flat, (s, s))
-            tb = jnp.broadcast_to(t, (pooled.shape[0],))
+            # optional constant ControlNet timestep (reference `:952-955`)
+            cn_t = (
+                jnp.asarray(float(fixed_controlnet_timestep), jnp.float32)
+                if fixed_controlnet_timestep >= 0 else t
+            )
+            tb = jnp.broadcast_to(cn_t, (pooled.shape[0],))
 
             per_down, per_mid = [], []
             for e in active:
@@ -199,6 +205,7 @@ class I2VGenXLControlNetAdapterPipeline:
         sparse_frames: Optional[Sequence[int]] = None,
         inference_expert_masks: Optional[Sequence[bool]] = None,
         skip_conv_in: bool = False,
+        fixed_controlnet_timestep: int = -1,
         vae_scaling_factor: float = 0.18215,
         control_latent_size: int = 64,
         latents: Optional[jnp.ndarray] = None,
@@ -247,6 +254,7 @@ class I2VGenXLControlNetAdapterPipeline:
             expert_mask, skip_conv_in, control_latent_size,
             jnp.asarray(controlnet_conditioning_scale, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32),
+            int(fixed_controlnet_timestep),
         )
         if output_type == "latent":
             return latents

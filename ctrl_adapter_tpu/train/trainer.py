@@ -59,6 +59,9 @@ class TrainConfig:
     prediction_type: str = "epsilon"
     num_experts: int = 1
     train_router: bool = False
+    fixed_controlnet_timestep: int = -1  # >=0: constant ControlNet timestep (`train.py:952-955`)
+    latent_nan_checking: bool = False  # scrub NaN latents (`train.py:1043-1045`)
+    gradient_accumulation_steps: int = 1  # optax.MultiSteps (`train.py:1453-1458`)
 
 
 class CtrlAdapterTrainer:
@@ -94,6 +97,10 @@ class CtrlAdapterTrainer:
                 weight_decay=config.adam_weight_decay,
             ),
         )
+        if config.gradient_accumulation_steps > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=config.gradient_accumulation_steps
+            )
 
     # ------------------------------------------------------------------ state
     def init_optimizer(self, trainable_params):
@@ -120,6 +127,8 @@ class CtrlAdapterTrainer:
         mean, logvar = self.vae.apply(frozen["vae"], flat, method="encode_moments")
         z_noise = jax.random.normal(rngs["vae"], mean.shape, jnp.float32)
         latents = mean + jnp.exp(0.5 * logvar) * z_noise
+        if cfg.latent_nan_checking:
+            latents = jnp.where(jnp.isnan(latents), 0.0, latents)
         latents = jax.lax.stop_gradient(latents)
         lh, lw = latents.shape[1], latents.shape[2]
         latents = latents.reshape(b, f, lh, lw, 4) * cfg.vae_scaling_factor
@@ -145,6 +154,8 @@ class CtrlAdapterTrainer:
             )
             unet_timesteps = timesteps
             controlnet_timesteps = timesteps.astype(jnp.float32)
+        if cfg.fixed_controlnet_timestep >= 0:
+            controlnet_timesteps = jnp.full((b,), float(cfg.fixed_controlnet_timestep))
 
         # 3. noisy latents + target (`train.py:1133-1187`)
         if cfg.model_name == "svd":

@@ -78,6 +78,9 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         skip_time_emb=args.skip_time_emb,
         num_experts=num_experts,
         train_router=num_experts > 1,
+        fixed_controlnet_timestep=args.fixed_controlnet_timestep,
+        latent_nan_checking=getattr(args, "latent_nan_checking", False),
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
     )
     temporal = args.model_name in ("i2vgenxl", "svd")
     adapter = ControlNetAdapter(
