@@ -49,6 +49,20 @@ def classifier_free_guidance(noise_pred: jnp.ndarray, guidance_scale) -> jnp.nda
     return uncond + guidance_scale * (cond - uncond)
 
 
+def classifier_free_guidance_rescaled(
+    noise_pred: jnp.ndarray, guidance_scale, guidance_rescale
+) -> jnp.ndarray:
+    """CFG with optional std-rescaling per arXiv 2305.08891 §3.4 (reference
+    `sdxl_controlnet_adapter_pipeline.py:1373-1375`). guidance_rescale=0 disables."""
+    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+    guided = uncond + guidance_scale * (cond - uncond)
+    axes = tuple(range(1, guided.ndim))
+    std_text = jnp.std(cond, axis=axes, keepdims=True)
+    std_guided = jnp.std(guided, axis=axes, keepdims=True)
+    rescaled = guided * (std_text / (std_guided + 1e-8))
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * guided
+
+
 def sdxl_add_time_ids(
     original_size: Tuple[int, int],
     crops_coords_top_left: Tuple[int, int],

@@ -175,11 +175,24 @@ class I2VGenXLControlNetAdapterPipeline:
             latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
         return latents
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _decode(self, vae_params, latents: jnp.ndarray, scaling_factor: float) -> jnp.ndarray:
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _decode(
+        self, vae_params, latents: jnp.ndarray, scaling_factor: float,
+        decode_chunk_size: int = 2,
+    ) -> jnp.ndarray:
+        """Frame-chunked VAE decode (`i2vgen_xl_...py:398-418` decode_chunk_size)."""
         b, f, h, w, c = latents.shape
         flat = latents.reshape(b * f, h, w, c) / scaling_factor
-        video = self.vae.apply(vae_params, flat, method="decode")
+        n = flat.shape[0]
+        chunk = min(decode_chunk_size, n)
+        pad = (-n) % chunk
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, h, w, c), flat.dtype)])
+        chunks = flat.reshape(-1, chunk, h, w, c)
+        video = jax.lax.map(
+            lambda z: self.vae.apply(vae_params, z, method="decode"), chunks
+        )
+        video = video.reshape(-1, *video.shape[2:])[:n]
         video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
         return video.reshape(b, f, *video.shape[1:])
 

@@ -30,7 +30,11 @@ from ..models.unet_2d import UNet2DConditionModel
 from ..models.vae import AutoencoderKL
 from ..ops.resize import adaptive_avg_pool2d
 from ..schedulers.euler_discrete import EulerDiscreteConfig, EulerDiscreteScheduler
-from .common import classifier_free_guidance, control_window, sdxl_add_time_ids
+from .common import (
+    classifier_free_guidance_rescaled,
+    control_window,
+    sdxl_add_time_ids,
+)
 
 
 @dataclass(eq=False)  # identity hash: the pipeline object is a static jit argument
@@ -68,6 +72,7 @@ class SDXLControlNetAdapterPipeline:
         skip_conv_in: bool,
         skip_time_emb: bool,
         control_latent_size: int = 64,
+        guidance_rescale: jnp.ndarray = 0.0,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         added = {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
@@ -82,7 +87,9 @@ class SDXLControlNetAdapterPipeline:
                 down_block_additional_residuals=residuals,
                 mid_block_additional_residual=mid_residual,
             )
-            noise_pred = classifier_free_guidance(noise_pred, guidance_scale)
+            noise_pred = classifier_free_guidance_rescaled(
+                noise_pred, guidance_scale, guidance_rescale
+            )
             return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
 
         def controlled_body(lat, i):
@@ -137,6 +144,7 @@ class SDXLControlNetAdapterPipeline:
         width: int = 1024,
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
         controlnet_conditioning_scale: float = 1.0,
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 0.6,
@@ -169,6 +177,7 @@ class SDXLControlNetAdapterPipeline:
             jnp.asarray(controlnet_conditioning_scale, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32),
             skip_conv_in, skip_time_emb, control_latent_size,
+            jnp.asarray(guidance_rescale, jnp.float32),
         )
         image = self._decode(params["vae"], latents, vae_scaling_factor)
         if output_type == "latent":

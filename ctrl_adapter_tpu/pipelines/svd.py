@@ -149,11 +149,33 @@ class SVDControlNetAdapterPipeline:
             latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
         return latents
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _decode(self, vae_params, latents: jnp.ndarray, scaling_factor: float) -> jnp.ndarray:
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _decode(
+        self, vae_params, latents: jnp.ndarray, scaling_factor: float,
+        decode_chunk_size: int = 2,
+    ) -> jnp.ndarray:
+        """Frame-chunked VAE decode (reference `svd_...py:265-292`): bounds the
+        512^2 decoder activations (a full 14-frame decode is ~4GB/tensor in bf16)."""
         b, f, h, w, c = latents.shape
         flat = latents.reshape(b * f, h, w, c) / scaling_factor
-        video = self.vae.apply(vae_params, flat, method="decode")
+        n = flat.shape[0]
+        chunk = min(decode_chunk_size, n)
+        pad = (-n) % chunk
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, h, w, c), flat.dtype)])
+        chunks = flat.reshape(-1, chunk, h, w, c)
+        # SVD's released VAE has a temporal decoder (AutoencoderKLTemporalDecoder,
+        # `svd_...py:265-292`); it needs num_frames per chunk. The plain 2D decoder
+        # ignores it.
+        from ..models.vae_temporal import AutoencoderKLTemporalDecoder
+
+        if isinstance(self.vae, AutoencoderKLTemporalDecoder):
+            decode = lambda z: self.vae.apply(  # noqa: E731
+                vae_params, z, chunk, method="decode")
+        else:
+            decode = lambda z: self.vae.apply(vae_params, z, method="decode")  # noqa: E731
+        video = jax.lax.map(decode, chunks)
+        video = video.reshape(-1, *video.shape[2:])[:n]
         video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
         return video.reshape(b, f, *video.shape[1:])
 

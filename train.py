@@ -159,6 +159,10 @@ def main():
     parser.add_argument("--fake_weights", action="store_true",
                         help="fabricated frozen towers + synthetic data (smoke/perf)")
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--run_validation", action="store_true",
+                        help="generate a validation sample every validate_every_steps "
+                             "(the reference's run_validation, `train.py:943-953`)")
+    parser.add_argument("--use_wandb", action="store_true")
     args = parser.parse_args()
     args = merge_yaml_over_args(args, args.yaml_file)
     random.seed(args.seed)
@@ -223,6 +227,52 @@ def main():
     os.makedirs(args.DATA_PATH, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 
+    wandb_run = None
+    if args.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="ctrl-adapter-tpu",
+                                   config={k: str(v) for k, v in vars(args).items()})
+        except Exception as e:  # zero-egress image: wandb likely unavailable
+            print(f"wandb unavailable ({e}); falling back to JSONL log", file=sys.stderr)
+
+    def run_validation(step):
+        """Generate one control-conditioned sample with the current adapter
+        (the reference invokes the full inference path, `train.py:943-953`)."""
+        from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
+        from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
+        from ctrl_adapter_tpu.utils.image import save_gif
+
+        if args.model_name != "i2vgenxl":
+            print("validation generation currently wired for i2vgenxl", file=sys.stderr)
+            return
+        pipe = I2VGenXLControlNetAdapterPipeline(
+            unet=trainer.unet, controlnet=trainer.controlnet,
+            adapter=trainer.adapter, vae=trainer.vae, router=trainer.router)
+        val_params = {
+            "unet": frozen["unet"], "vae": frozen["vae"],
+            "adapter": jax.tree.map(lambda x: x, trainable["adapter"]),
+        }
+        for e in range(cfg.num_experts):
+            val_params[f"controlnet_{e}"] = frozen[f"controlnet_{e}"]
+        if trainer.router is not None:
+            val_params["router"] = trainable["router"]
+        s = cfg.control_latent_size
+        video = pipe.generate(
+            val_params, jax.random.PRNGKey(step),
+            prompt_embeds=jnp.zeros((2, 77, args.cross_attention_dim)),
+            controlnet_prompt_embeds=jnp.zeros((2, 77, 768)),
+            image_embeddings=jnp.zeros((1, 1, args.cross_attention_dim)),
+            first_frame_latent=jnp.zeros((1, lh, lw, 4)),
+            control_images=jnp.ones((cfg.num_experts, f, s * 8, s * 8, 3)) * 0.5,
+            height=args.height, width=args.width, num_frames=f,
+            num_inference_steps=4, control_latent_size=s,
+        )
+        out = os.path.join(args.DATA_PATH, "validation", f"step_{step}.gif")
+        save_gif(list(np.asarray(video[0], np.float32)), out, fps=args.output_fps)
+        print(f"validation sample -> {out}", file=sys.stderr)
+
     for step in range(1, args.max_train_steps + 1):
         t0 = time.time()
         rng, step_rng = jax.random.split(rng)
@@ -247,7 +297,12 @@ def main():
             rec["down_block_weights"] = np.asarray(metrics["down_block_weights"]).tolist()
         with open(log_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
+        if wandb_run is not None:
+            wandb_run.log(rec, step=step)
         print(f"step {step}: loss={loss:.5f} ({dt:.2f}s)", file=sys.stderr)
+
+        if args.run_validation and step % args.validate_every_steps == 0:
+            run_validation(step)
 
         if step % args.checkpointing_steps == 0 or step == args.max_train_steps:
             path = save_checkpoint(
