@@ -34,11 +34,14 @@ TORCH_A100_REFERENCE_FPS_ESTIMATE = 0.75  # documented estimate, see module docs
 
 
 def fabricate(module, *args, seed=0, scale=0.02, dtype=jnp.bfloat16, **kwargs):
+    """Random params stored in bf16 — fp32 storage of the full SVD stack (~9.5GB)
+    plus per-step bf16 conversion temps OOMs the 16GB chip."""
     shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
     rng = np.random.default_rng(seed)
 
     def fill(s):
-        return jnp.asarray(rng.standard_normal(s.shape).astype(np.float32)).astype(s.dtype) * scale
+        arr = rng.standard_normal(s.shape).astype(np.float32) * scale
+        return jnp.asarray(arr).astype(dtype)
 
     return jax.tree.map(fill, shapes)
 

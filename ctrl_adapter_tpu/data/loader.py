@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import csv
 import os
+import queue
 import random
-from typing import Callable, Dict, List, Optional, Sequence
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -169,3 +171,59 @@ def collate(
     if encode_text is not None:
         batch["controlnet_text_emb"] = encode_text([it["caption"] for it in items])
     return batch
+
+
+class Prefetcher:
+    """Async host-side batch pipeline: worker threads decode/extract while the device
+    runs the previous step (SURVEY §7 hard-part 5 — the reference extracts conditions
+    synchronously inside each train step, `train.py:1107-1124`, which would starve a
+    TPU). Yields collated batches; the queue depth bounds host memory."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        encode_text: Optional[Callable[[List[str]], np.ndarray]] = None,
+        num_workers: int = 1,
+        queue_depth: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.encode_text = encode_text
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._stop = threading.Event()
+        self._rng = random.Random(seed)
+        self._threads = [
+            threading.Thread(target=self._worker, args=(w,), daemon=True)
+            for w in range(max(1, num_workers))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self, worker_id: int) -> None:
+        rng = random.Random((worker_id + 1) * 7919 + self._rng.randint(0, 1 << 30))
+        while not self._stop.is_set():
+            items = [
+                self.dataset.get(rng.randrange(len(self.dataset)))
+                for _ in range(self.batch_size)
+            ]
+            batch = collate(items, self.encode_text)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while not self._stop.is_set():
+            yield self._q.get()
+
+    def next(self) -> Dict[str, np.ndarray]:
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)

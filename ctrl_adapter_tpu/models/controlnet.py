@@ -99,6 +99,7 @@ class ControlNetModel(nn.Module):
         conditioning_scale: float | jnp.ndarray = 1.0,
         skip_conv_in: bool = False,
         skip_time_emb: bool = False,
+        guess_mode: bool = False,
     ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
         cfg = self.config
 
@@ -207,10 +208,23 @@ class ControlNetModel(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        n_res = len(down_block_res_samples)
+        if guess_mode:
+            # logspace 0.1 -> 1.0 residual ramp (reference `:861-865`)
+            guess_scales = [
+                float(s) * 1.0 for s in
+                (10.0 ** jnp.linspace(-1.0, 0.0, n_res + 1)).tolist()
+            ]
+        else:
+            guess_scales = [1.0] * (n_res + 1)
         controlnet_down: List[jnp.ndarray] = []
         for k, res in enumerate(down_block_res_samples):
             controlnet_down.append(
-                zero_conv(res.shape[-1], f"controlnet_down_blocks_{k}")(res) * conditioning_scale
+                zero_conv(res.shape[-1], f"controlnet_down_blocks_{k}")(res)
+                * conditioning_scale * guess_scales[k]
             )
-        mid = zero_conv(sample.shape[-1], "controlnet_mid_block")(sample) * conditioning_scale
+        mid = (
+            zero_conv(sample.shape[-1], "controlnet_mid_block")(sample)
+            * conditioning_scale * guess_scales[-1]
+        )
         return controlnet_down, mid

@@ -5,6 +5,14 @@ Parity target: reference `model/ctrl_router.py:9-112`. Two live router types:
 - ``simple_weights``: free logits per block — a bias-free Linear(1 -> E) applied to the
   constant input 1, i.e. the logits are simply the weight column ``wg.weight[:, 0]``.
 
+Extension beyond the reference: the reference's trainer and I2VGen-XL pipeline *wire*
+three conditional router types (``timestep_weights`` / ``embedding_weights`` /
+``timestep_embedding_weights``, `train.py:566-597`,
+`i2vgen_xl_controlnet_adapter_pipeline.py:974-988`) but `ctrl_router.py:71-82` never
+implements them — the class silently falls back. Here they are implemented for real:
+the router input (a timestep embedding, a pooled encoder embedding, or their concat)
+feeds a bias-free per-block Linear(D -> E) producing input-conditional expert logits.
+
 Expert masking subtracts 1e6 from masked experts' logits before the softmax
 (reference `:96-107`), which is how inference-time ``inference_expert_masks`` and the
 training-time random expert subsets work.
@@ -34,7 +42,7 @@ class ControlNetRouter(nn.Module):
     backbone_model_name: Optional[str] = None
     param_dtype: jnp.dtype = jnp.float32
 
-    def _logits(self, name: str) -> jnp.ndarray:
+    def _logits(self, name: str, router_input: Optional[jnp.ndarray]) -> jnp.ndarray:
         if self.router_type == "equal_weights":
             return jnp.zeros((self.num_experts,), dtype=jnp.float32)
         if self.router_type == "simple_weights":
@@ -48,6 +56,24 @@ class ControlNetRouter(nn.Module):
                 self.param_dtype,
             )
             return kernel[0].astype(jnp.float32)
+        if self.router_type in (
+            "timestep_weights", "embedding_weights", "timestep_embedding_weights"
+        ):
+            if router_input is None:
+                raise ValueError(
+                    f"router_type={self.router_type!r} needs router_input "
+                    "(timestep embedding and/or pooled encoder embedding)"
+                )
+            x = jnp.asarray(router_input, jnp.float32)
+            if x.ndim == 2:  # (B, D): one weight set per call, batch-averaged
+                x = x.mean(axis=0)
+            kernel = self.param(
+                f"{name}_wg_kernel",
+                nn.initializers.normal(stddev=1.0 / jnp.sqrt(x.shape[-1])),
+                (x.shape[-1], self.num_experts),
+                self.param_dtype,
+            )
+            return x @ kernel.astype(jnp.float32)
         raise ValueError(f"unsupported router_type: {self.router_type}")
 
     @nn.compact
@@ -57,9 +83,13 @@ class ControlNetRouter(nn.Module):
         sparse_mask: Optional[jnp.ndarray] = None,  # (E,) 1=keep, 0=mask
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         down_logits = jnp.stack(
-            [self._logits(f"down_blocks_router_{i}") for i in range(self.num_routers)]
+            [self._logits(f"down_blocks_router_{i}", router_input)
+             for i in range(self.num_routers)]
         )  # (num_routers, E)
-        mid_logits = self._logits("mid_block_router") if self.add_mid_block_router else None
+        mid_logits = (
+            self._logits("mid_block_router", router_input)
+            if self.add_mid_block_router else None
+        )
 
         if sparse_mask is not None:
             sparse_mask = jnp.asarray(sparse_mask, dtype=jnp.float32)
@@ -71,6 +101,35 @@ class ControlNetRouter(nn.Module):
         down_weights = nn.softmax(down_logits, axis=-1)
         mid_weights = nn.softmax(mid_logits, axis=-1) if mid_logits is not None else None
         return down_weights, mid_weights
+
+
+def build_router_input(
+    router_type: str,
+    timesteps: Optional[jnp.ndarray] = None,  # (B,) denoise timesteps
+    encoder_hidden_states: Optional[jnp.ndarray] = None,  # (B, T, D)
+    timestep_channels: int = 256,
+) -> Optional[jnp.ndarray]:
+    """Assemble the conditional router input for the timestep/embedding router types
+    (the wiring the reference sketches at `train.py:566-597` /
+    `i2vgen_xl_controlnet_adapter_pipeline.py:974-988`): a sinusoidal timestep
+    embedding, a token-pooled encoder embedding, or their concatenation."""
+    from ..nn.embeddings import get_timestep_embedding
+
+    parts = []
+    if router_type in ("timestep_weights", "timestep_embedding_weights"):
+        if timesteps is None:
+            raise ValueError(f"{router_type} needs timesteps")
+        temb = get_timestep_embedding(jnp.atleast_1d(timesteps), timestep_channels)
+        parts.append(temb.mean(axis=0))
+    if router_type in ("embedding_weights", "timestep_embedding_weights"):
+        if encoder_hidden_states is None:
+            raise ValueError(f"{router_type} needs encoder_hidden_states")
+        parts.append(
+            jnp.asarray(encoder_hidden_states, jnp.float32).mean(axis=(0, 1))
+        )
+    if not parts:
+        return None
+    return jnp.concatenate(parts, axis=-1)
 
 
 def fuse_expert_residuals(

@@ -247,8 +247,7 @@ class UNet2DConditionModel(nn.Module):
 
         # 6. out
         sample = group_norm(cfg.norm_num_groups, cfg.norm_eps, "conv_norm_out", self.dtype,
-                            self.param_dtype)(sample).astype(sample.dtype)
-        sample = nn.silu(sample)
+                            self.param_dtype)(sample, silu=True)
         sample = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
             name="conv_out", dtype=self.dtype, param_dtype=self.param_dtype,

@@ -268,8 +268,7 @@ class I2VGenXLUNet(nn.Module):
 
         # 8. out
         sample = group_norm(cfg.norm_num_groups, 1e-5, "conv_norm_out", self.dtype,
-                            self.param_dtype)(sample).astype(sample.dtype)
-        sample = nn.silu(sample)
+                            self.param_dtype)(sample, silu=True)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                          name="conv_out", dtype=self.dtype, param_dtype=self.param_dtype)(sample)
         return sample.reshape(b, num_frames, height, width, cfg.out_channels)

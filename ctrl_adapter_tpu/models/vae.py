@@ -153,8 +153,7 @@ class Encoder(nn.Module):
         x = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups, name="mid_block",
                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
         x = group_norm(cfg.norm_num_groups, 1e-6, "conv_norm_out", self.dtype,
-                       self.param_dtype)(x).astype(x.dtype)
-        x = nn.silu(x)
+                       self.param_dtype)(x, silu=True)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv_out", dtype=self.dtype, param_dtype=self.param_dtype)(x)
         return x
@@ -186,8 +185,7 @@ class Decoder(nn.Module):
                 name=f"up_blocks_{i}", dtype=self.dtype, param_dtype=self.param_dtype,
             )(x)
         x = group_norm(cfg.norm_num_groups, 1e-6, "conv_norm_out", self.dtype,
-                       self.param_dtype)(x).astype(x.dtype)
-        x = nn.silu(x)
+                       self.param_dtype)(x, silu=True)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv_out",
                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
         return x

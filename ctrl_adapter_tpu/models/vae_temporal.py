@@ -102,8 +102,7 @@ class TemporalDecoder(nn.Module):
             )(x, image_only_indicator)
 
         x = group_norm(cfg.norm_num_groups, 1e-6, "conv_norm_out", self.dtype,
-                       self.param_dtype)(x).astype(x.dtype)
-        x = nn.silu(x)
+                       self.param_dtype)(x, silu=True)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv_out",
                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
 

@@ -19,8 +19,27 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.group_norm import group_norm_silu
 from ..ops.resize import nearest_resize
 from .embeddings import TimestepEmbedding, Timesteps  # noqa: F401
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the trailing channel axis (contiguous groups, fp32 stats) with an
+    optionally *fused* SiLU — dispatches to the single-HBM-pass Pallas kernel on TPU
+    (ops/group_norm.py) and is param-compatible with ``flax.linen.GroupNorm``
+    (same ``scale``/``bias`` names, so torch→jax converted checkpoints load as-is)."""
+
+    num_groups: int
+    epsilon: float
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, silu: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon, silu)
 
 
 def group_norm(
@@ -29,11 +48,9 @@ def group_norm(
     name: str,
     dtype: jnp.dtype,
     param_dtype: jnp.dtype = jnp.float32,
-) -> nn.GroupNorm:
-    """GroupNorm over the trailing channel axis (contiguous channel groups, fp32 stats)."""
-    return nn.GroupNorm(
-        num_groups=num_groups, epsilon=eps, name=name, dtype=jnp.float32, param_dtype=param_dtype
-    )
+) -> GroupNorm:
+    """GroupNorm factory; call result with ``silu=True`` to fuse the activation."""
+    return GroupNorm(num_groups=num_groups, epsilon=eps, name=name, param_dtype=param_dtype)
 
 
 class Upsample2D(nn.Module):
@@ -134,9 +151,8 @@ class ResnetBlock2D(nn.Module):
         )
 
         hidden_states = group_norm(self.groups, self.eps, "norm1", self.dtype, self.param_dtype)(
-            input_tensor
-        ).astype(input_tensor.dtype)
-        hidden_states = nn.silu(hidden_states)
+            input_tensor, silu=True
+        )
 
         if self.up:
             target = output_size or (hidden_states.shape[-3] * 2, hidden_states.shape[-2] * 2)
@@ -162,18 +178,19 @@ class ResnetBlock2D(nn.Module):
             if temb_proj is not None:
                 hidden_states = hidden_states + temb_proj
             hidden_states = group_norm(groups_out, self.eps, "norm2", self.dtype, self.param_dtype)(
-                hidden_states
-            ).astype(hidden_states.dtype)
+                hidden_states, silu=True
+            )
         elif self.time_embedding_norm == "scale_shift":
+            # affine from temb sits between the norm and the activation — not fusable
             time_scale, time_shift = jnp.split(temb_proj, 2, axis=-1)
             hidden_states = group_norm(groups_out, self.eps, "norm2", self.dtype, self.param_dtype)(
                 hidden_states
             ).astype(hidden_states.dtype)
             hidden_states = hidden_states * (1 + time_scale) + time_shift
+            hidden_states = nn.silu(hidden_states)
         else:
             raise ValueError(f"unknown time_embedding_norm: {self.time_embedding_norm}")
 
-        hidden_states = nn.silu(hidden_states)
         hidden_states = conv(out_channels, "conv2")(hidden_states)
 
         use_in_shortcut = (
@@ -218,9 +235,8 @@ class TemporalResnetBlock(nn.Module):
         )
 
         hidden_states = group_norm(32, self.eps, "norm1", self.dtype, self.param_dtype)(
-            input_tensor
-        ).astype(input_tensor.dtype)
-        hidden_states = nn.silu(hidden_states)
+            input_tensor, silu=True
+        )
         hidden_states = conv3d(out_channels, (3, 1, 1), "conv1")(hidden_states)
 
         if temb is not None and self.temb_channels is not None:
@@ -231,9 +247,8 @@ class TemporalResnetBlock(nn.Module):
             hidden_states = hidden_states + temb[:, :, None, None, :]  # (B,F,1,1,C)
 
         hidden_states = group_norm(32, self.eps, "norm2", self.dtype, self.param_dtype)(
-            hidden_states
-        ).astype(hidden_states.dtype)
-        hidden_states = nn.silu(hidden_states)
+            hidden_states, silu=True
+        )
         hidden_states = conv3d(out_channels, (3, 1, 1), "conv2")(hidden_states)
 
         if self.in_channels != out_channels:

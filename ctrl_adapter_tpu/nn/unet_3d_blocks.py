@@ -46,8 +46,7 @@ class TemporalConvLayer(nn.Module):
         # conv2..4 = (GN, SiLU, Dropout, Conv) -> .0/.3.
         def stage(x, ch_out, idx, conv_pos, zero=False):
             x = group_norm(self.norm_num_groups, 1e-5, f"conv{idx}_0", self.dtype,
-                           self.param_dtype)(x).astype(x.dtype)
-            x = nn.silu(x)
+                           self.param_dtype)(x, silu=True)
             return nn.Conv(
                 ch_out, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
                 name=f"conv{idx}_{conv_pos}",

@@ -29,8 +29,9 @@ MIN_SEQ = 1024
 _BLOCK = 512
 
 
-@functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
+    # NOT cached: entry points may switch jax_platforms (cpu dryruns/tests) after
+    # import — dispatch must track the current default backend.
     if os.environ.get("CTRL_ADAPTER_NO_FLASH") == "1":
         return False
     try:
@@ -38,7 +39,7 @@ def _flash_available() -> bool:
     except Exception:
         return False
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -25,10 +25,11 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.adapter import ControlNetAdapter
 from ..models.controlnet import ControlNetModel
-from ..models.router import ControlNetRouter, fuse_expert_residuals
+from ..models.router import ControlNetRouter, build_router_input, fuse_expert_residuals
 from ..models.unet_i2vgen import I2VGenXLUNet
 from ..models.vae import AutoencoderKL
 from ..ops.resize import adaptive_avg_pool2d
@@ -80,13 +81,30 @@ class I2VGenXLControlNetAdapterPipeline:
         active = [e for e in range(num_experts) if expert_mask[e]]
 
         # Router weights are constant across steps for equal/simple router types
-        # (reference recomputes identical weights per step, `:971-994`).
-        if self.router is not None and num_experts > 1:
-            mask_arr = jnp.asarray([1.0 if m else 0.0 for m in expert_mask])
+        # (reference recomputes identical weights per step, `:971-994`); conditional
+        # types (timestep/embedding) are evaluated inside the denoise scan instead.
+        conditional_router = (
+            self.router is not None
+            and num_experts > 1
+            and self.router.router_type
+            in ("timestep_weights", "embedding_weights", "timestep_embedding_weights")
+        )
+        mask_arr = jnp.asarray([1.0 if m else 0.0 for m in expert_mask])
+        active_arr = jnp.asarray(active) if active else jnp.zeros((0,), jnp.int32)
+
+        def router_weights(t):
+            router_in = build_router_input(
+                self.router.router_type, jnp.broadcast_to(t, (1,)),
+                prompt_embeds[prompt_embeds.shape[0] // 2:],  # positive halves
+            )
+            dwf, mwf = self.router.apply(params["router"], router_in, sparse_mask=mask_arr)
+            return dwf[:, active_arr], (mwf[active_arr] if mwf is not None else None)
+
+        if self.router is not None and num_experts > 1 and not conditional_router:
             down_w_full, mid_w_full = self.router.apply(params["router"], sparse_mask=mask_arr)
-            down_w = down_w_full[:, jnp.asarray(active)]  # (12, E_active)
+            down_w = down_w_full[:, active_arr]  # (12, E_active)
             # renormalization is already handled by the masked softmax
-            mid_w = mid_w_full[jnp.asarray(active)] if mid_w_full is not None else None
+            mid_w = mid_w_full[active_arr] if mid_w_full is not None else None
         else:
             down_w = jnp.ones((13, len(active)))
             mid_w = jnp.ones((len(active),))
@@ -130,7 +148,8 @@ class I2VGenXLControlNetAdapterPipeline:
                 )
                 per_down.append(downs)
                 per_mid.append(mid)
-            fused_down, fused_mid = fuse_expert_residuals(per_down, per_mid, down_w, mid_w)
+            dw, mw = router_weights(t) if conditional_router else (down_w, mid_w)
+            fused_down, fused_mid = fuse_expert_residuals(per_down, per_mid, dw, mw)
 
             # sparse key-frame selection (static indices; CFG doubling `:1025-1033`)
             if sparse_frames is not None:
@@ -223,6 +242,7 @@ class I2VGenXLControlNetAdapterPipeline:
         control_latent_size: int = 64,
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
+        return_router_weights: bool = False,
     ):
         b = image_embeddings.shape[0]
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -269,6 +289,35 @@ class I2VGenXLControlNetAdapterPipeline:
             jnp.asarray(guidance_scale, jnp.float32),
             int(fixed_controlnet_timestep),
         )
-        if output_type == "latent":
-            return latents
-        return self._decode(params["vae"], latents, vae_scaling_factor)
+        result = (
+            latents if output_type == "latent"
+            else self._decode(params["vae"], latents, vae_scaling_factor)
+        )
+        if return_router_weights and self.router is not None:
+            # the reference returns one trace entry per denoise step (`:971-994`);
+            # equal/simple weights are step-constant, conditional types vary with t.
+            mask_arr = jnp.asarray([1.0 if m else 0.0 for m in expert_mask])
+            lo, hi = window
+            conditional = self.router.router_type in (
+                "timestep_weights", "embedding_weights", "timestep_embedding_weights"
+            )
+            trace_down, trace_mid = [], []
+            for i in range(lo, hi):
+                router_in = None
+                if conditional:
+                    t = state.timesteps[i].astype(jnp.float32)
+                    router_in = build_router_input(
+                        self.router.router_type, jnp.broadcast_to(t, (1,)),
+                        prompt_embeds[prompt_embeds.shape[0] // 2:],
+                    )
+                dw, mw = self.router.apply(
+                    params["router"], router_in, sparse_mask=mask_arr
+                )
+                trace_down.append(np.asarray(dw).tolist())
+                trace_mid.append(None if mw is None else np.asarray(mw).tolist())
+                if not conditional:  # step-constant: replicate without re-running
+                    trace_down = trace_down * (hi - lo)
+                    trace_mid = trace_mid * (hi - lo)
+                    break
+            return result, trace_down, trace_mid
+        return result

@@ -29,7 +29,7 @@ import optax
 
 from ..models.adapter import ControlNetAdapter
 from ..models.controlnet import ControlNetModel
-from ..models.router import ControlNetRouter, fuse_expert_residuals
+from ..models.router import ControlNetRouter, build_router_input, fuse_expert_residuals
 from ..ops.resize import adaptive_avg_pool2d
 from ..schedulers.ddim import DDIMConfig, DDIMScheduler
 from ..schedulers.euler_discrete import karras_sigmas, sample_training_sigmas_timesteps
@@ -207,10 +207,15 @@ class CtrlAdapterTrainer:
             per_down.append([jax.lax.stop_gradient(d) for d in downs])
             per_mid.append(jax.lax.stop_gradient(mid))
 
-        # router fusion (`train.py:1244-1276`)
+        # router fusion (`train.py:1244-1276`); conditional router types get a
+        # timestep/pooled-embedding input (build_router_input)
         if self.router is not None and cfg.num_experts > 1:
+            router_in = build_router_input(
+                self.router.router_type, controlnet_timesteps,
+                batch.get("prompt_embeds"),
+            )
             down_w, mid_w = self.router.apply(
-                trainable["router"], sparse_mask=batch.get("expert_mask")
+                trainable["router"], router_in, sparse_mask=batch.get("expert_mask")
             )
         else:
             down_w = jnp.ones((13, cfg.num_experts))

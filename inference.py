@@ -60,12 +60,13 @@ ADAPTER_LOCATIONS = {"i2vgenxl": ("A", "B", "C", "D", "M"),
                      "sdxl": ("A", "B", "C")}
 
 
-def fabricate(module, *args, seed=0, scale=0.02, **kwargs):
+def fabricate(module, *args, seed=0, scale=0.02, dtype=jnp.bfloat16, **kwargs):
+    """Random params stored in bf16 (fp32 storage of a full backbone stack OOMs)."""
     shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs))
     rng = np.random.default_rng(seed)
     return jax.tree.map(
         lambda s: jnp.asarray(rng.standard_normal(s.shape).astype(np.float32) * scale)
-        .astype(s.dtype),
+        .astype(dtype),
         shapes,
     )
 
@@ -214,6 +215,26 @@ def main():
     def pseudo_text(n, dim):
         return jnp.asarray(rng_np.standard_normal((n, 77, dim)).astype(np.float32) * 0.1)
 
+    # caption lookup (`inference.py:183-185`)
+    captions = {}
+    cap_path = os.path.join(args.evaluation_input_folder, args.evaluation_prompt_file)
+    if os.path.exists(cap_path):
+        raw = json.load(open(cap_path))
+        captions = {os.path.splitext(k)[0]: v for k, v in raw.items()}
+
+    encoders = None
+    if not args.fake_weights and args.pretrained_model_path:
+        from ctrl_adapter_tpu.models.text_encoders import (
+            CLIPImageEncoder, CLIPTextEncoder, ControlNetTextEncoder,
+        )
+
+        encoders = {
+            "controlnet": ControlNetTextEncoder(args.pretrained_model_path),
+            "text": CLIPTextEncoder(args.pretrained_model_path),
+        }
+        if args.model_name in ("i2vgenxl", "svd"):
+            encoders["image"] = CLIPImageEncoder(args.pretrained_model_path)
+
     out_root = os.path.join(
         args.evaluation_output_folder, args.model_name, "_".join(args.control_types))
     os.makedirs(out_root, exist_ok=True)
@@ -251,14 +272,33 @@ def main():
                 np.stack([cv2.resize(fr, (s8, s8)) for fr in c]) for c in conds
             ])
 
+        prompt = captions.get(sample_name, "")
+
+        def cn_embeds():
+            if encoders is not None:
+                return jnp.asarray(encoders["controlnet"]([prompt]))  # (2, 77, 768)
+            return pseudo_text(2, 768)
+
+        def backbone_text(dim):
+            if encoders is not None and args.model_name == "i2vgenxl":
+                pos = encoders["text"]([prompt])
+                neg = encoders["text"]([""])
+                return jnp.asarray(np.concatenate([neg, pos], axis=0))
+            return pseudo_text(2, dim)
+
+        def image_embeds():
+            if encoders is not None and "image" in encoders:
+                return jnp.asarray(encoders["image"]([frames[0]]))
+            return jnp.ones((1, 1, 1024)) * 0.1
+
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         if args.model_name == "sdxl":
             video = pipe.generate(
                 params, rng,
-                prompt_embeds=pseudo_text(2, 2048),
+                prompt_embeds=backbone_text(2048),
                 add_text_embeds=jnp.ones((2, 1280)) * 0.1,
-                controlnet_prompt_embeds=pseudo_text(2, 768),
+                controlnet_prompt_embeds=cn_embeds(),
                 control_image=jnp.asarray(conds[0]),
                 height=args.height, width=args.width,
                 num_inference_steps=args.num_inference_steps,
@@ -272,9 +312,9 @@ def main():
         elif args.model_name == "i2vgenxl":
             video = np.asarray(pipe.generate(
                 params, rng,
-                prompt_embeds=pseudo_text(2, 1024),
-                controlnet_prompt_embeds=pseudo_text(2, 768),
-                image_embeddings=jnp.ones((1, 1, 1024)) * 0.1,
+                prompt_embeds=backbone_text(1024),
+                controlnet_prompt_embeds=cn_embeds(),
+                image_embeddings=image_embeds(),
                 first_frame_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
                 control_images=jnp.asarray(conds.reshape(conds.shape[0], -1, *conds.shape[2:])),
                 height=args.height, width=args.width, num_frames=f,
@@ -290,9 +330,9 @@ def main():
         else:
             video = np.asarray(pipe.generate(
                 params, rng,
-                image_embeddings=jnp.ones((1, 1, 1024)) * 0.1,
+                image_embeddings=image_embeds(),
                 image_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
-                controlnet_prompt_embeds=pseudo_text(2, 768),
+                controlnet_prompt_embeds=cn_embeds(),
                 control_images=jnp.asarray(conds[0]),
                 height=args.height, width=args.width, num_frames=f,
                 num_inference_steps=args.num_inference_steps,

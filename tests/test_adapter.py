@@ -156,3 +156,32 @@ def test_fuse_expert_residuals_matches_loop():
         np.testing.assert_allclose(np.asarray(fused_down[k]), ref, rtol=1e-5, atol=1e-6)
     ref_mid = sum(np.asarray(mids[e]) * float(mw[e]) for e in range(E))
     np.testing.assert_allclose(np.asarray(fused_mid), ref_mid, rtol=1e-5, atol=1e-6)
+
+
+def test_conditional_router_types():
+    """Extension beyond the reference: timestep/embedding-conditioned routers (the
+    reference wires these in `train.py:566-597` but never implements them)."""
+    for rt, dim in [("timestep_weights", 16), ("embedding_weights", 24),
+                    ("timestep_embedding_weights", 40)]:
+        router = ControlNetRouter(num_experts=3, router_type=rt, num_routers=12)
+        rin = jnp.asarray(np.random.default_rng(0).normal(size=(dim,)).astype(np.float32))
+        params = fake_init(router, rin, seed=2, scale=0.5)
+        down_w, mid_w = eager_apply(router, params, rin)
+        assert down_w.shape == (12, 3) and mid_w.shape == (3,)
+        np.testing.assert_allclose(np.asarray(down_w.sum(-1)), 1.0, rtol=1e-5)
+        # different inputs give different weights (input-conditional, unlike simple)
+        down_w2, _ = eager_apply(router, params, rin * -2.0 + 1.0)
+        assert not np.allclose(np.asarray(down_w), np.asarray(down_w2))
+        # batched (B, D) input is accepted
+        down_w3, _ = eager_apply(router, params, jnp.stack([rin, rin]))
+        np.testing.assert_allclose(np.asarray(down_w3), np.asarray(down_w), rtol=1e-5)
+        # masking still applies on top
+        down_wm, _ = eager_apply(router, params, rin,
+                                 sparse_mask=jnp.asarray([1.0, 0.0, 1.0]))
+        assert np.all(np.asarray(down_wm[:, 1]) < 1e-20)
+
+
+def test_conditional_router_requires_input():
+    router = ControlNetRouter(num_experts=2, router_type="timestep_weights")
+    with pytest.raises(ValueError):
+        router.init(jax.random.PRNGKey(0))

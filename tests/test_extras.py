@@ -103,3 +103,61 @@ def test_image_utils_roundtrip():
     u = image_to_unit(out)
     back = unit_to_uint8(u)
     np.testing.assert_array_equal(back, out)
+
+
+def test_prefetcher_streams_batches():
+    """Async host pipeline (SURVEY §7 hard-part 5): batches stream from worker
+    threads and correspond to (frames, conditions) of the SAME item."""
+    import numpy as np
+
+    from ctrl_adapter_tpu.data.loader import Prefetcher
+
+    class TinyDataset:
+        def __len__(self):
+            return 4
+
+        def get(self, idx):
+            base = np.full((2, 8, 8, 3), float(idx), np.float32)
+            return {
+                "frames": base,
+                "caption": f"item {idx}",
+                "first_frame": base[0],
+                "conditions": base[None],  # (E=1, f, h, w, 3)
+            }
+
+    pf = Prefetcher(TinyDataset(), batch_size=2, num_workers=2, queue_depth=2)
+    try:
+        for _ in range(3):
+            batch = pf.next()
+            assert batch["frames"].shape == (2, 2, 8, 8, 3)
+            assert batch["controlnet_cond"].shape == (1, 4, 8, 8, 3)
+            # expert-major layout keeps frame<->condition correspondence per item
+            conds = batch["controlnet_cond"][0].reshape(2, 2, 8, 8, 3)
+            np.testing.assert_array_equal(conds, batch["frames"])
+    finally:
+        pf.close()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """orbax save/load in the reference's checkpoint-{step}/adapter_{step} layout
+    (`train.py:406-421,1009-1015`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctrl_adapter_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    adapter = {"params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}}
+    router = {"params": {"logits": jnp.asarray([0.5, -0.5])}}
+    ckpt = save_checkpoint(str(tmp_path), 7, adapter, router,
+                           config={"model_name": "i2vgenxl"})
+    assert ckpt.endswith("checkpoint-7")
+
+    templates = (
+        jax.tree.map(jnp.zeros_like, adapter),
+        jax.tree.map(jnp.zeros_like, router),
+    )
+    out = load_checkpoint(ckpt, 7, *templates)
+    np.testing.assert_array_equal(np.asarray(out["adapter"]["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(np.asarray(out["router"]["params"]["logits"]),
+                                  [0.5, -0.5])

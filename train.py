@@ -149,7 +149,12 @@ def init_trainable(trainer, frozen, b, f):
         f, jnp.ones((b * f,)), jnp.ones((1, 1, cd)))
     trainable = {"adapter": adapter_params}
     if trainer.router is not None:
-        trainable["router"] = trainer.router.init(jax.random.PRNGKey(1))
+        from ctrl_adapter_tpu.models.router import build_router_input
+
+        rin = build_router_input(
+            trainer.router.router_type, jnp.zeros((1,)), jnp.zeros((1, 1, cd))
+        )  # None for equal/simple router types
+        trainable["router"] = trainer.router.init(jax.random.PRNGKey(1), rin)
     return trainable
 
 
@@ -163,10 +168,16 @@ def main():
                         help="generate a validation sample every validate_every_steps "
                              "(the reference's run_validation, `train.py:943-953`)")
     parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for multi-host TPU slices")
     args = parser.parse_args()
     args = merge_yaml_over_args(args, args.yaml_file)
     random.seed(args.seed)
     np.random.seed(args.seed)
+    if args.multihost:
+        # multi-host: one process per host, mesh spans the slice over ICI
+        # (TPU-native replacement for accelerate's NCCL process group, SURVEY §2.4)
+        jax.distributed.initialize()
 
     trainer = build_trainer(args)
     cfg = trainer.config
@@ -185,6 +196,24 @@ def main():
     frozen = fabricate_frozen(args, trainer, b, f, lh, lw)
     trainable = init_trainable(trainer, frozen, b, f)
     opt_state = trainer.init_optimizer(trainable)
+
+    # adapter/optimizer resume (reference `train.py:603-614,716-735`)
+    if args.adapter_resume_path and args.adapter_resume_step is not None:
+        from ctrl_adapter_tpu.train.checkpoints import load_checkpoint
+
+        restored = load_checkpoint(
+            args.adapter_resume_path, args.adapter_resume_step,
+            adapter_template=trainable["adapter"],
+            router_template=trainable.get("router"),
+            opt_template=opt_state,
+        )
+        trainable["adapter"] = restored["adapter"]
+        if "router" in restored:
+            trainable["router"] = restored["router"]
+        if "opt_state" in restored:
+            opt_state = restored["opt_state"]
+        print(f"resumed adapter from {args.adapter_resume_path} "
+              f"@ step {args.adapter_resume_step}", file=sys.stderr)
     n_params = sum(x.size for x in jax.tree.leaves(trainable))
     print(f"trainable params: {n_params / 1e6:.1f}M over {n_dev} device(s)", file=sys.stderr)
 
@@ -276,9 +305,9 @@ def main():
     for step in range(1, args.max_train_steps + 1):
         t0 = time.time()
         rng, step_rng = jax.random.split(rng)
-        batch = shard_batch(mesh, {k: v for k, v in next_batch().items()
-                                   if k not in ("controlnet_cond", "expert_mask")})
         raw = next_batch()
+        batch = shard_batch(mesh, {k: v for k, v in raw.items()
+                                   if k not in ("controlnet_cond", "expert_mask")})
         batch["controlnet_cond"] = replicate(mesh, jnp.asarray(raw["controlnet_cond"]))
         if "expert_mask" in raw:
             batch["expert_mask"] = replicate(mesh, jnp.asarray(raw["expert_mask"]))
