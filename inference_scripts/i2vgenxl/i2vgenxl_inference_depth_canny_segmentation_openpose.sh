@@ -1,0 +1,6 @@
+#!/bin/bash
+# multi-condition: fixed 7-expert order with 4 active experts (reference `inference.py:314-345`)
+python inference.py --model_name i2vgenxl --control_types depth canny normal softedge segmentation lineart openpose \
+  --inference_expert_masks 1 1 0 0 1 0 1 \
+  --num_inference_steps 50 --guidance_scale 9.0 --control_guidance_end 1.0 \
+  --n_sample_frames 16 --output_fps 16 "$@"

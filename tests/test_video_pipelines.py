@@ -139,3 +139,60 @@ def test_svd_pipeline_latent_skipping():
     assert video.shape == (B, F, 64, 64, 3)
     arr = np.asarray(video)
     assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_i2vgenxl_pipeline_conditional_router_trace():
+    """Timestep-conditioned router (extension; the reference wires but never
+    implements it): weights are computed inside the denoise scan and the returned
+    per-step trace varies with t."""
+    from ctrl_adapter_tpu.models.router import build_router_input
+
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=CNET_CFG)
+    adapter = _adapter(temporal=False)
+    vae = AutoencoderKL(config=VAE_CFG)
+    router = ControlNetRouter(num_experts=2, router_type="timestep_weights")
+    pipe = I2VGenXLControlNetAdapterPipeline(
+        unet=unet, controlnet=cnet, adapter=adapter, vae=vae, router=router)
+
+    hw = 8
+    prompt = jnp.ones((2 * B, 7, 32)) * 0.1
+    cn_prompt = jnp.ones((2 * B, 7, 24)) * 0.1
+    image_emb = jnp.ones((B, 1, 32)) * 0.1
+    ff_latent = jnp.ones((B, hw, hw, 4)) * 0.1
+    ctrl = jnp.ones((2, B * F, 64, 64, 3)) * 0.5
+
+    sample = jnp.ones((2 * B, F, hw, hw, 4))
+    il = jnp.ones((2 * B, F, hw, hw, 4))
+    rin = build_router_input("timestep_weights", jnp.zeros((1,)), None)
+    params = {
+        "unet": fake_init(unet, sample, jnp.ones((2 * B,)), jnp.ones((2 * B,)), il,
+                          jnp.ones((2 * B, 1, 32)), prompt),
+        "vae": fake_init(vae, jnp.ones((1, 64, 64, 3))),
+        "router": fake_init(router, rin, seed=3, scale=0.5),
+    }
+    pooled = jnp.ones((2 * B * F, hw, hw, 4))
+    cn_args = (pooled, jnp.ones((2 * B * F,)), jnp.ones((2 * B * F, 7, 24)),
+               jnp.ones((2 * B * F, 64, 64, 3)))
+    for e in range(2):
+        params[f"controlnet_{e}"] = fake_init(cnet, *cn_args, seed=e)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet_0"], *cn_args))
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        F, jnp.ones((2 * B * F,)), jnp.ones((1, 1, 32)))
+
+    video, trace_down, trace_mid = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent, ctrl,
+        height=hw * 8, width=hw * 8, num_frames=F, num_inference_steps=4,
+        control_guidance_end=1.0, control_latent_size=hw,
+        return_router_weights=True,
+    )
+    assert video.shape == (B, F, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()
+    assert len(trace_down) == 4
+    w0, w1 = np.asarray(trace_down[0]), np.asarray(trace_down[-1])
+    np.testing.assert_allclose(w0.sum(-1), 1.0, rtol=1e-5)
+    assert not np.allclose(w0, w1)  # timestep-conditioned: varies across steps

@@ -1,0 +1,4 @@
+#!/bin/bash
+# TPU-native equivalent of the reference launcher: one host, data-parallel over all
+# local TPU chips via jax.sharding (no accelerate/NCCL).
+python train.py --yaml_file configs/i2vgenxl_train_softedge.yaml "$@"
