@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time denoise-only vs VAE-decode (stderr)")
     args = ap.parse_args()
 
     if args.quick:
@@ -108,13 +110,40 @@ def main():
             num_inference_steps=args.steps, skip_conv_in=True,
             control_guidance_end=0.8, control_latent_size=cls,
         )
-        return jax.block_until_ready(video)
+        # A scalar host read forces full on-device execution. block_until_ready alone
+        # is NOT sufficient under this image's remote-TPU tunnel (buffers report
+        # ready at enqueue, yielding impossible ~0.03s "timings").
+        checksum = float(jnp.sum(video.astype(jnp.float32)))
+        return video, checksum
 
     t0 = time.time()
-    video = run(0)  # compile + first run
+    video, checksum = run(0)  # compile + first run
     compile_wall = time.time() - t0
-    print(f"# first run (incl. compile): {compile_wall:.1f}s, video {video.shape}",
-          file=sys.stderr)
+    print(f"# first run (incl. compile): {compile_wall:.1f}s, video {video.shape}, "
+          f"checksum {checksum:.3f}", file=sys.stderr)
+
+    if args.breakdown:
+        def run_latent(seed):
+            lat = pipe.generate(
+                params, jax.random.PRNGKey(seed), image_emb, image_latent, cn_prompt,
+                ctrl_images, height=args.height, width=args.width, num_frames=f,
+                num_inference_steps=args.steps, skip_conv_in=True,
+                control_guidance_end=0.8, control_latent_size=cls,
+                output_type="latent",
+            )
+            float(jnp.sum(lat.astype(jnp.float32)))
+            return lat
+
+        lat = run_latent(100)  # compile (decode-free program)
+        t0 = time.time()
+        run_latent(101)
+        denoise_t = time.time() - t0
+        t0 = time.time()
+        float(jnp.sum(pipe._decode(params["vae"], lat, 0.18215).astype(jnp.float32)))
+        decode_t = time.time() - t0
+        print(f"# breakdown: denoise {denoise_t:.2f}s "
+              f"({denoise_t / args.steps * 1000:.0f}ms/step), decode {decode_t:.2f}s",
+              file=sys.stderr)
 
     times = []
     for i in range(args.repeats):
