@@ -32,6 +32,40 @@ MULTI_CONDITION_EXPERT_ORDER = (
 )
 
 
+def _smooth_noise_field(h: int, w: int, grid: int, rng: np.random.Generator) -> np.ndarray:
+    """Low-frequency noise in [0, 1]: coarse uniform grid bicubically upsampled.
+
+    The content-shuffle flow field of `ctrl_helper.py:118-120` (controlnet_aux
+    ContentShuffleDetector) is built from exactly this kind of smooth noise disk.
+    """
+    import cv2
+
+    coarse = rng.uniform(size=((h // grid) + 2, (w // grid) + 2)).astype(np.float32)
+    up = cv2.resize(coarse, (w + 2 * grid, h + 2 * grid), interpolation=cv2.INTER_CUBIC)
+    field = up[grid: grid + h, grid: grid + w]
+    field -= field.min()
+    field /= max(field.max(), 1e-8)
+    return field
+
+
+def extract_shuffle(image: np.ndarray, grid: int = 256,
+                    seed: Optional[int] = None) -> np.ndarray:
+    """Content shuffle (`ctrl_helper.py:118-120,193-194`): resample every output pixel
+    from a smoothly-varying random source location, destroying layout while keeping
+    the color/texture statistics — the conditioning signal of the shuffle ControlNet.
+
+    image: (h, w, 3) uint8 RGB -> (h, w, 3) uint8 shuffled image.
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    rng = np.random.default_rng(seed)
+    src_x = _smooth_noise_field(h, w, grid, rng) * float(w - 1)
+    src_y = _smooth_noise_field(h, w, grid, rng) * float(h - 1)
+    flow = np.stack([src_x, src_y], axis=2).astype(np.float32)
+    return cv2.remap(image, flow, None, cv2.INTER_LINEAR)
+
+
 def extract_canny(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
     """Canny edges at the reference thresholds (`ctrl_helper.py:171-179`).
 
@@ -124,6 +158,9 @@ class ConditionExtractor:
             return
         if control_type == "canny":
             self._estimators["canny"] = lambda imgs: [extract_canny(im) for im in imgs]
+        elif control_type == "shuffle":
+            self._estimators["shuffle"] = lambda imgs: [
+                extract_shuffle(im, seed=i) for i, im in enumerate(imgs)]
         elif control_type == "depth":
             self._estimators["depth"] = DepthMidas(
                 self._paths.get("depth", "Intel/dpt-hybrid-midas"))

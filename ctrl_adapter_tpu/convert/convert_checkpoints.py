@@ -36,13 +36,14 @@ def _find_weights(src: str) -> Dict[str, np.ndarray]:
         if os.path.exists(path):
             return load_safetensors(path)
     # sharded checkpoints
-    index = os.path.join(src, "diffusion_pytorch_model.safetensors.index.json")
-    if os.path.exists(index):
-        shards = set(json.load(open(index))["weight_map"].values())
-        out: Dict[str, np.ndarray] = {}
-        for shard in shards:
-            out.update(load_safetensors(os.path.join(src, shard)))
-        return out
+    for base in ("diffusion_pytorch_model", "model"):
+        index = os.path.join(src, f"{base}.safetensors.index.json")
+        if os.path.exists(index):
+            shards = set(json.load(open(index))["weight_map"].values())
+            out: Dict[str, np.ndarray] = {}
+            for shard in shards:
+                out.update(load_safetensors(os.path.join(src, shard)))
+            return out
     raise FileNotFoundError(f"no safetensors weights under {src}")
 
 
@@ -78,12 +79,19 @@ def diffusers_config_to_ours(component: str, cfg: Dict[str, Any]) -> Dict[str, A
         return dict(cfg)  # backbone-specific; consumed by the model constructors
     if component in ("adapter", "router"):
         return dict(cfg)
+    if component in ("text_encoder", "text_encoder_2", "image_encoder"):
+        return dict(cfg)  # transformers config consumed by models/text_encoders.py
     raise ValueError(component)
 
 
 def convert_component(src: str, dst: str, component: str) -> None:
     weights = _find_weights(src)
-    params = convert_state_dict(weights)
+    if component in ("text_encoder", "text_encoder_2", "image_encoder"):
+        from ..models.clip import convert_clip_state_dict
+
+        params = convert_clip_state_dict(weights)
+    else:
+        params = convert_state_dict(weights)
     cfg_path = os.path.join(src, "config.json")
     config = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
 
@@ -110,7 +118,8 @@ def main():
     ap.add_argument("--src", required=True, help="diffusers model dir (or repo root)")
     ap.add_argument("--dst", required=True)
     ap.add_argument("--components", nargs="+", default=["unet"],
-                    choices=["unet", "vae", "controlnet", "adapter", "router"])
+                    choices=["unet", "vae", "controlnet", "adapter", "router",
+                             "text_encoder", "text_encoder_2", "image_encoder"])
     args = ap.parse_args()
     for comp in args.components:
         sub = os.path.join(args.src, comp)

@@ -1,83 +1,156 @@
-"""Text / image encoder frontends (host-level, via transformers Flax CLIP).
+"""Text / image encoder frontends.
 
 Parity targets:
 - SD-v1.5 tokenizer + CLIP-L text encoder shared by every ControlNet
   (`model/ctrl_helper.py:33-52`, `encode_controlnet_prompt` `:299-457`);
-- backbone encoders: CLIP-L (+ OpenCLIP-bigG pooled) for SDXL, CLIP for I2VGen-XL,
-  CLIP-H vision tower for I2VGen-XL/SVD image embeddings (`inference.py:349-372`,
-  `i2vgen_xl_..._pipeline.py:366-396,716-748`).
+- backbone encoders: CLIP-L (+ OpenCLIP-bigG pooled) for SDXL, OpenCLIP-H for
+  I2VGen-XL, CLIP-H vision tower for I2VGen-XL/SVD image embeddings
+  (`inference.py:349-372`, `i2vgen_xl_..._pipeline.py:366-396,716-748`).
 
-These wrap ``transformers`` Flax CLIP classes loaded from *local* checkpoint dirs
-(zero-egress image: nothing is downloaded). Encoders run once per prompt on the host
-path; the jitted denoise/train programs consume only the embedding tensors.
+Primary path: the in-tree flax towers (:mod:`ctrl_adapter_tpu.models.clip`) fed by
+on-the-fly conversion of the local diffusers-format torch safetensors — tokenization
+stays on the host (string processing), the encoder matmuls run on the TPU. Encoders
+run once per prompt; the jitted denoise/train programs consume only the embeddings.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import json
+import os
+from typing import List, Optional
 
 import numpy as np
 
+from .clip import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    CLIPVisionConfig,
+    CLIPVisionModel,
+    convert_clip_state_dict,
+)
+
+
+def _load_tower(model_path: str, subfolder: str):
+    """(config.json, converted flax params) from a local transformers dir."""
+    from ..convert.torch_to_jax import load_safetensors
+
+    root = os.path.join(model_path, subfolder)
+    cfg = json.load(open(os.path.join(root, "config.json")))
+    weights = None
+    for name in ("model.safetensors", "model.fp16.safetensors"):
+        p = os.path.join(root, name)
+        if os.path.exists(p):
+            weights = load_safetensors(p)
+            break
+    if weights is None:
+        index = os.path.join(root, "model.safetensors.index.json")
+        if os.path.exists(index):
+            weights = {}
+            for shard in set(json.load(open(index))["weight_map"].values()):
+                weights.update(load_safetensors(os.path.join(root, shard)))
+    if weights is None:
+        raise FileNotFoundError(f"no safetensors under {root}")
+    return cfg, {"params": convert_clip_state_dict(weights)}
+
+
+def _text_config(cfg: dict, with_projection: bool) -> CLIPTextConfig:
+    return CLIPTextConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+        intermediate_size=cfg["intermediate_size"],
+        max_position_embeddings=cfg["max_position_embeddings"],
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+        eos_token_id=cfg.get("eos_token_id", 49407) or 49407,
+        projection_dim=cfg.get("projection_dim") if with_projection else None,
+    )
+
+
+class NativeTextTower:
+    """Tokenizer + in-tree flax CLIP text tower loaded from a local diffusers dir."""
+
+    def __init__(self, model_path: str, subfolder: str = "text_encoder",
+                 tokenizer_subfolder: str = "tokenizer", with_projection: bool = False):
+        from transformers import CLIPTokenizer
+
+        self.tokenizer = CLIPTokenizer.from_pretrained(
+            model_path, subfolder=tokenizer_subfolder)
+        cfg, self.params = _load_tower(model_path, subfolder)
+        self.model = CLIPTextModel(config=_text_config(cfg, with_projection))
+
+    def encode(self, texts: List[str]):
+        """-> (last_hidden_state, pooled, hidden_states tuple) as jax arrays."""
+        tokens = self.tokenizer(
+            texts, padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length, return_tensors="np",
+        )
+        import jax.numpy as jnp
+
+        return self.model.apply(self.params, jnp.asarray(tokens["input_ids"]))
+
 
 class ControlNetTextEncoder:
-    """SD-v1.5 tokenizer + text encoder producing the (n, 77, 768) ControlNet prompt
+    """SD-v1.5 CLIP-L producing the (2n, 77, 768) [neg; pos] ControlNet prompt
     embedding with classifier-free negative prompts (`ctrl_helper.py:299-457`)."""
 
     def __init__(self, model_path: str):
-        from transformers import CLIPTokenizer, FlaxCLIPTextModel
-
-        self.tokenizer = CLIPTokenizer.from_pretrained(model_path, subfolder="tokenizer")
-        self.text_encoder = FlaxCLIPTextModel.from_pretrained(
-            model_path, subfolder="text_encoder"
-        )
+        self.tower = NativeTextTower(model_path)
 
     def __call__(
         self, prompts: List[str], negative_prompts: Optional[List[str]] = None
     ) -> np.ndarray:
-        def encode(texts: List[str]) -> np.ndarray:
-            tokens = self.tokenizer(
-                texts, padding="max_length", truncation=True,
-                max_length=self.tokenizer.model_max_length, return_tensors="np",
-            )
-            return np.asarray(self.text_encoder(tokens["input_ids"])[0])
-
-        pos = encode(prompts)
+        pos = np.asarray(self.tower.encode(prompts)[0])
         if negative_prompts is None:
             negative_prompts = [""] * len(prompts)
-        neg = encode(negative_prompts)
+        neg = np.asarray(self.tower.encode(negative_prompts)[0])
         return np.concatenate([neg, pos], axis=0)  # (2n, 77, 768) [neg; pos]
 
 
 class CLIPTextEncoder:
-    """Backbone text encoder (I2VGen-XL CLIP; SDXL dual-encoder handled by caller)."""
+    """Backbone text encoder (I2VGen-XL OpenCLIP-H; SDXL CLIP-L with clip_skip)."""
 
-    def __init__(self, model_path: str, subfolder: str = "text_encoder"):
-        from transformers import CLIPTokenizer, FlaxCLIPTextModel
-
-        self.tokenizer = CLIPTokenizer.from_pretrained(model_path, subfolder="tokenizer")
-        self.text_encoder = FlaxCLIPTextModel.from_pretrained(model_path, subfolder=subfolder)
+    def __init__(self, model_path: str, subfolder: str = "text_encoder",
+                 clip_skip: int = 0, with_projection: bool = False):
+        self.tower = NativeTextTower(model_path, subfolder,
+                                     with_projection=with_projection)
+        self.clip_skip = clip_skip
 
     def __call__(self, prompts: List[str]) -> np.ndarray:
-        tokens = self.tokenizer(
-            prompts, padding="max_length", truncation=True,
-            max_length=self.tokenizer.model_max_length, return_tensors="np",
-        )
-        return np.asarray(self.text_encoder(tokens["input_ids"])[0])
+        last, _pooled, hiddens = self.tower.encode(prompts)
+        if self.clip_skip:
+            return np.asarray(hiddens[-(self.clip_skip + 1)])
+        return np.asarray(last)
+
+    def encode_with_pooled(self, prompts: List[str]):
+        """SDXL dual-encoder path: (penultimate hidden, pooled/projected)."""
+        _last, pooled, hiddens = self.tower.encode(prompts)
+        return np.asarray(hiddens[-2]), np.asarray(pooled)
 
 
 class CLIPImageEncoder:
-    """CLIP vision tower -> projected image embeddings (n, 1, dim)
+    """CLIP-H vision tower -> projected image embeddings (n, 1, dim)
     (`i2vgen_xl_..._pipeline.py:366-396`)."""
 
     def __init__(self, model_path: str, subfolder: str = "image_encoder"):
-        from transformers import CLIPImageProcessor, FlaxCLIPVisionModelWithProjection
+        from transformers import CLIPImageProcessor
 
-        self.processor = CLIPImageProcessor.from_pretrained(model_path, subfolder="feature_extractor")
-        self.encoder = FlaxCLIPVisionModelWithProjection.from_pretrained(
-            model_path, subfolder=subfolder
-        )
+        self.processor = CLIPImageProcessor.from_pretrained(
+            model_path, subfolder="feature_extractor")
+        cfg, self.params = _load_tower(model_path, subfolder)
+        self.model = CLIPVisionModel(config=CLIPVisionConfig(
+            image_size=cfg["image_size"], patch_size=cfg["patch_size"],
+            hidden_size=cfg["hidden_size"], num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            hidden_act=cfg.get("hidden_act", "quick_gelu"),
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            projection_dim=cfg.get("projection_dim", 1024),
+        ))
 
     def __call__(self, images: List[np.ndarray]) -> np.ndarray:
+        import jax.numpy as jnp
+
         inputs = self.processor(images=images, return_tensors="np")
-        embeds = self.encoder(inputs["pixel_values"]).image_embeds
+        pix = jnp.asarray(inputs["pixel_values"].transpose(0, 2, 3, 1))  # NHWC
+        _, embeds = self.model.apply(self.params, pix)
         return np.asarray(embeds)[:, None, :]  # (n, 1, dim)

@@ -230,8 +230,16 @@ def main():
 
         encoders = {
             "controlnet": ControlNetTextEncoder(args.pretrained_model_path),
-            "text": CLIPTextEncoder(args.pretrained_model_path),
         }
+        if args.model_name == "sdxl":
+            # dual-encoder SDXL conditioning: penultimate hiddens of CLIP-L and
+            # OpenCLIP-bigG concatenated (2048), pooled bigG -> add_text_embeds
+            encoders["text"] = CLIPTextEncoder(args.pretrained_model_path)
+            encoders["text_2"] = CLIPTextEncoder(
+                args.pretrained_model_path, subfolder="text_encoder_2",
+                with_projection=True)
+        else:
+            encoders["text"] = CLIPTextEncoder(args.pretrained_model_path)
         if args.model_name in ("i2vgenxl", "svd"):
             encoders["image"] = CLIPImageEncoder(args.pretrained_model_path)
 
@@ -264,10 +272,15 @@ def main():
         while len(frames) < f:
             frames.append(frames[-1])
         conds = load_conditions(args, input_root, sample_name, frames)  # (E,f,512,512,3)
-        if (args.height, args.width) != (512, 512) or conds.shape[2] != min(64, args.height // 8) * 8:
+        # SDXL: ControlNet features live at half the backbone latent size — the
+        # adapter's first layer upsamples x2 (`ctrl_adapter.py:61-66`); video
+        # backbones share the 64x64 latent grid with the ControlNet.
+        ctrl_latent = (min(64, args.height // 16) if args.model_name == "sdxl"
+                       else min(64, args.height // 8))
+        if conds.shape[2] != ctrl_latent * 8:
             import cv2
 
-            s8 = min(64, args.height // 8) * 8
+            s8 = ctrl_latent * 8
             conds = np.stack([
                 np.stack([cv2.resize(fr, (s8, s8)) for fr in c]) for c in conds
             ])
@@ -286,6 +299,19 @@ def main():
                 return jnp.asarray(np.concatenate([neg, pos], axis=0))
             return pseudo_text(2, dim)
 
+        def sdxl_text():
+            """(prompt_embeds (2,77,2048) [neg; pos], add_text_embeds (2,1280))."""
+            if encoders is None or "text_2" not in encoders:
+                return pseudo_text(2, 2048), jnp.ones((2, 1280)) * 0.1
+            embs, pools = [], []
+            for text in ("", prompt):  # [neg; pos]
+                h1, _ = encoders["text"].encode_with_pooled([text])
+                h2, pool2 = encoders["text_2"].encode_with_pooled([text])
+                embs.append(np.concatenate([h1, h2], axis=-1))
+                pools.append(pool2)
+            return (jnp.asarray(np.concatenate(embs, axis=0)),
+                    jnp.asarray(np.concatenate(pools, axis=0)))
+
         def image_embeds():
             if encoders is not None and "image" in encoders:
                 return jnp.asarray(encoders["image"]([frames[0]]))
@@ -294,10 +320,11 @@ def main():
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         if args.model_name == "sdxl":
+            sdxl_prompt_embeds, sdxl_pooled = sdxl_text()
             video = pipe.generate(
                 params, rng,
-                prompt_embeds=backbone_text(2048),
-                add_text_embeds=jnp.ones((2, 1280)) * 0.1,
+                prompt_embeds=sdxl_prompt_embeds,
+                add_text_embeds=sdxl_pooled,
                 controlnet_prompt_embeds=cn_embeds(),
                 control_image=jnp.asarray(conds[0]),
                 height=args.height, width=args.width,
@@ -306,7 +333,7 @@ def main():
                 controlnet_conditioning_scale=args.controlnet_conditioning_scale,
                 control_guidance_start=args.control_guidance_start,
                 control_guidance_end=args.control_guidance_end,
-                control_latent_size=min(64, args.height // 8),
+                control_latent_size=ctrl_latent,
             )
             video = np.asarray(video)[None]  # (1, 1, h, w, 3)
         elif args.model_name == "i2vgenxl":
@@ -325,7 +352,7 @@ def main():
                 sparse_frames=args.sparse_frames,
                 inference_expert_masks=args.inference_expert_masks,
                 skip_conv_in=args.skip_conv_in,
-                control_latent_size=min(64, args.height // 8),
+                control_latent_size=ctrl_latent,
             ))
         else:
             video = np.asarray(pipe.generate(
@@ -338,7 +365,7 @@ def main():
                 num_inference_steps=args.num_inference_steps,
                 sparse_frames=args.sparse_frames,
                 skip_conv_in=args.skip_conv_in,
-                control_latent_size=min(64, args.height // 8),
+                control_latent_size=ctrl_latent,
             ))
         dt = time.time() - t0
         print(f"{sample_name or 'sample'}: {video.shape} in {dt:.1f}s", file=sys.stderr)

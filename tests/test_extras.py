@@ -89,6 +89,21 @@ def test_canny_extraction_and_collate():
     assert batch["controlnet_cond"].shape == (1, 4, 16, 16, 3)
 
 
+def test_shuffle_extraction():
+    """Content shuffle (`ctrl_helper.py:118-120`): layout destroyed, palette kept."""
+    from ctrl_adapter_tpu.conditions.extractors import ConditionExtractor
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    ex = ConditionExtractor()
+    out = ex.extract("shuffle", [img])[0]
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    # output pixels are resampled from the source image -> value range bounded by it
+    assert out.min() >= img.min() and out.max() <= img.max()
+    # and the layout actually changes
+    assert not np.array_equal(out, img)
+
+
 def test_image_utils_roundtrip():
     from ctrl_adapter_tpu.utils.image import (
         center_crop_and_resize, image_to_tensor, image_to_unit, unit_to_uint8,
