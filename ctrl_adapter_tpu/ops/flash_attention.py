@@ -38,10 +38,9 @@ def _flash_available() -> bool:
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention  # noqa: F401
     except Exception:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:

@@ -43,10 +43,9 @@ _CHUNK_F32_BYTES = 1024 * 1024  # per-chunk fp32 temp target
 def _on_tpu() -> bool:
     if os.environ.get("CTRL_ADAPTER_NO_FUSED_GN") == "1":
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from .backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _xla_group_norm_silu(
