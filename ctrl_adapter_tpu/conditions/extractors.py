@@ -77,11 +77,75 @@ def extract_canny(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndar
     return np.repeat(edges[:, :, None], 3, axis=2)
 
 
+class DepthDPT:
+    """TPU-native DPT depth (flax port, :mod:`ctrl_adapter_tpu.conditions.dpt`) from a
+    local transformers-format checkpoint dir.
+
+    Matches the torch path's post-processing (`utils/run_depth.py:125-148`): forward
+    -> bicubic upsample to the input size -> per-image min/max normalize -> uint8
+    grayscale replicated to RGB.
+    """
+
+    def __init__(self, model_path: str, dtype=None):
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        from transformers import DPTImageProcessor
+
+        from ..convert.torch_to_jax import load_safetensors
+        from .dpt import DPTConfig, DPTForDepthEstimation, convert_dpt_state_dict
+
+        self.jnp = jnp
+        self.processor = DPTImageProcessor.from_pretrained(model_path)
+        cfg = json.load(open(os.path.join(model_path, "config.json")))
+        self.model = DPTForDepthEstimation(
+            config=DPTConfig(
+                hidden_size=cfg["hidden_size"],
+                num_layers=cfg["num_hidden_layers"],
+                num_heads=cfg["num_attention_heads"],
+                intermediate_size=cfg["intermediate_size"],
+                patch_size=cfg["patch_size"], image_size=cfg["image_size"],
+                layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+                backbone_out_indices=tuple(cfg["backbone_out_indices"]),
+                neck_hidden_sizes=tuple(cfg["neck_hidden_sizes"]),
+                reassemble_factors=tuple(cfg["reassemble_factors"]),
+                fusion_hidden_size=cfg["fusion_hidden_size"],
+            ),
+            dtype=dtype or jnp.float32,
+        )
+        weights = load_safetensors(os.path.join(model_path, "model.safetensors"))
+        self.params = {"params": convert_dpt_state_dict(weights)}
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, images: List[np.ndarray]) -> List[np.ndarray]:
+        from ..ops.resize import bicubic_resize
+
+        jnp = self.jnp
+        inputs = self.processor(images=images, return_tensors="np")
+        pix = jnp.asarray(inputs["pixel_values"].transpose(0, 2, 3, 1))  # NHWC
+        depth = self._apply(self.params, pix)  # (n, h', w')
+        out = []
+        for i, img in enumerate(images):
+            d = np.asarray(
+                bicubic_resize(depth[i][:, :, None], img.shape[:2])[:, :, 0],
+                dtype=np.float32,
+            )
+            span = float(d.max() - d.min())
+            d = (d - d.min()) / span if span > 0 else np.zeros_like(d)
+            arr = (d * 255.0).astype(np.uint8)
+            out.append(np.repeat(arr[:, :, None], 3, axis=2))
+        return out
+
+
 class DepthMidas:
     """MiDaS/DPT depth via transformers (torch-cpu), grayscale PIL-compatible output.
 
-    Equivalent of `utils/run_depth.py:125-148`: model forward -> bicubic upsample to
-    input size -> per-image min/max normalize -> uint8 grayscale replicated to RGB.
+    Fallback for checkpoints the flax port doesn't cover (e.g. hybrid/swin MiDaS
+    backbones); the primary path is :class:`DepthDPT`. Equivalent of
+    `utils/run_depth.py:125-148`: model forward -> bicubic upsample to input size ->
+    per-image min/max normalize -> uint8 grayscale replicated to RGB.
     """
 
     def __init__(self, model_path: str = "Intel/dpt-hybrid-midas", device: str = "cpu"):
@@ -162,8 +226,13 @@ class ConditionExtractor:
             self._estimators["shuffle"] = lambda imgs: [
                 extract_shuffle(im, seed=i) for i, im in enumerate(imgs)]
         elif control_type == "depth":
-            self._estimators["depth"] = DepthMidas(
-                self._paths.get("depth", "Intel/dpt-hybrid-midas"))
+            path = self._paths.get("depth", "Intel/dpt-large")
+            try:
+                # TPU-native flax DPT (plain-ViT checkpoints, the reference default)
+                self._estimators["depth"] = DepthDPT(path)
+            except Exception:
+                # hybrid/swin MiDaS checkpoints -> transformers torch-cpu fallback
+                self._estimators["depth"] = DepthMidas(path)
         elif control_type == "segmentation":
             self._estimators["segmentation"] = SegmentationAde(
                 self._paths.get("segmentation", "nvidia/segformer-b5-finetuned-ade-640-640"))

@@ -80,3 +80,30 @@ def bilinear_resize(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 def bicubic_resize(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     shape = (*x.shape[:-3], out_hw[0], out_hw[1], x.shape[-1])
     return jax.image.resize(x, shape, method="cubic")
+
+
+def bilinear_resize_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics on ...HWC input:
+    source coordinate of output pixel i is ``i * (in - 1) / (out - 1)`` (corner pixels
+    map exactly). ``jax.image.resize`` only implements half-pixel centers, so this
+    interpolates explicitly along H then W (two small matmul-free gathers)."""
+
+    def interp_axis(arr: jnp.ndarray, out: int, axis: int) -> jnp.ndarray:
+        n = arr.shape[axis]
+        if n == out:
+            return arr
+        if out == 1 or n == 1:
+            idx = jnp.zeros((out,), jnp.int32)
+            return jnp.take(arr, idx, axis=axis)
+        pos = jnp.arange(out, dtype=jnp.float32) * (n - 1) / (out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+        w = (pos - lo.astype(jnp.float32)).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        b = jnp.take(arr, lo + 1, axis=axis)
+        bshape = [1] * arr.ndim
+        bshape[axis] = out
+        w = w.reshape(bshape)
+        return a * (1 - w) + b * w
+
+    x = interp_axis(x, out_hw[0], x.ndim - 3)
+    return interp_axis(x, out_hw[1], x.ndim - 2)
