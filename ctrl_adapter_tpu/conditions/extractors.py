@@ -176,9 +176,68 @@ class DepthMidas:
         return out
 
 
+class SegmentationSegformer:
+    """TPU-native SegFormer segmentation (flax port,
+    :mod:`ctrl_adapter_tpu.conditions.segformer`) from a local checkpoint dir,
+    colorized with the ADE palette (`ctrl_helper.py:88-95,205-212`)."""
+
+    def __init__(self, model_path: str, dtype=None):
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        from transformers import AutoImageProcessor
+
+        from ..convert.torch_to_jax import load_safetensors
+        from .segformer import (
+            SegformerConfig,
+            SegformerForSemanticSegmentation,
+            convert_segformer_state_dict,
+        )
+
+        self.jnp = jnp
+        self.processor = AutoImageProcessor.from_pretrained(model_path)
+        cfg = json.load(open(os.path.join(model_path, "config.json")))
+        self.model = SegformerForSemanticSegmentation(
+            config=SegformerConfig(
+                num_labels=len(cfg.get("id2label", {})) or cfg.get("num_labels", 150),
+                hidden_sizes=tuple(cfg["hidden_sizes"]),
+                depths=tuple(cfg["depths"]),
+                num_heads=tuple(cfg["num_attention_heads"]),
+                sr_ratios=tuple(cfg["sr_ratios"]),
+                patch_sizes=tuple(cfg["patch_sizes"]),
+                strides=tuple(cfg["strides"]),
+                mlp_ratios=tuple(cfg["mlp_ratios"]),
+                decoder_hidden_size=cfg["decoder_hidden_size"],
+                layer_norm_eps=cfg.get("layer_norm_eps", 1e-6),
+            ),
+            dtype=dtype or jnp.float32,
+        )
+        weights = load_safetensors(os.path.join(model_path, "model.safetensors"))
+        self.params = {"params": convert_segformer_state_dict(weights)}
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, images: List[np.ndarray]) -> List[np.ndarray]:
+        from ..ops.resize import bilinear_resize
+
+        jnp = self.jnp
+        inputs = self.processor(images=images, return_tensors="np")
+        pix = jnp.asarray(inputs["pixel_values"].transpose(0, 2, 3, 1))  # NHWC
+        logits = self._apply(self.params, pix)  # (n, h/4, w/4, labels)
+        out = []
+        for i, img in enumerate(images):
+            up = bilinear_resize(logits[i], img.shape[:2])
+            seg = np.asarray(jnp.argmax(up, axis=-1))
+            color = ADE_PALETTE[seg % len(ADE_PALETTE)]
+            out.append(color.astype(np.uint8))
+        return out
+
+
 class SegmentationAde:
-    """SegFormer-b5 ADE20K segmentation colorized with the ADE palette
-    (`ctrl_helper.py:88-95,205-212`)."""
+    """SegFormer-b5 ADE20K segmentation via transformers torch-cpu (fallback;
+    the primary path is :class:`SegmentationSegformer`), colorized with the ADE
+    palette (`ctrl_helper.py:88-95,205-212`)."""
 
     def __init__(self, model_path: str = "nvidia/segformer-b5-finetuned-ade-640-640",
                  device: str = "cpu"):
@@ -234,8 +293,13 @@ class ConditionExtractor:
                 # hybrid/swin MiDaS checkpoints -> transformers torch-cpu fallback
                 self._estimators["depth"] = DepthMidas(path)
         elif control_type == "segmentation":
-            self._estimators["segmentation"] = SegmentationAde(
-                self._paths.get("segmentation", "nvidia/segformer-b5-finetuned-ade-640-640"))
+            path = self._paths.get(
+                "segmentation", "nvidia/segformer-b5-finetuned-ade-640-640")
+            try:
+                # TPU-native flax SegFormer from a local checkpoint dir
+                self._estimators["segmentation"] = SegmentationSegformer(path)
+            except Exception:
+                self._estimators["segmentation"] = SegmentationAde(path)
         elif control_type in ("normal", "softedge", "lineart", "openpose", "scribble"):
             # controlnet_aux detectors (NormalBae / PidiNet / Lineart / OpenPose / HED)
             try:
