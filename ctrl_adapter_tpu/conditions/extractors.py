@@ -300,6 +300,13 @@ class ConditionExtractor:
                 self._estimators["segmentation"] = SegmentationSegformer(path)
             except Exception:
                 self._estimators["segmentation"] = SegmentationAde(path)
+        elif control_type == "scribble" and str(
+                self._paths.get("scribble", "")).endswith((".pth", ".pt", ".safetensors")):
+            # TPU-native HED (flax) from a local ControlNetHED checkpoint
+            from .hed import ScribbleHED
+
+            det = ScribbleHED(self._paths["scribble"])
+            self._estimators["scribble"] = lambda imgs: det(imgs, scribble=True)
         elif control_type in ("normal", "softedge", "lineart", "openpose", "scribble"):
             # controlnet_aux detectors (NormalBae / PidiNet / Lineart / OpenPose / HED)
             try:
