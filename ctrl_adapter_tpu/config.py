@@ -16,6 +16,19 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 
+def bool_flag(s: str) -> bool:
+    """Parse textual booleans (reference `utils/utils.py:bool_flag`); plain
+    ``type=bool`` would treat any non-empty string — including "False" — as True."""
+    if isinstance(s, bool):
+        return s
+    low = s.lower()
+    if low in ("true", "1", "yes", "on"):
+        return True
+    if low in ("false", "0", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"invalid boolean flag: {s!r}")
+
+
 def load_yaml(path: str) -> Dict[str, Any]:
     with open(path) as f:
         return yaml.safe_load(f) or {}
@@ -41,29 +54,29 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--train_batch_size", type=int, default=1)
     add("--height", type=int, default=512)
     add("--width", type=int, default=512)
-    add("--use_size_512", type=bool, default=True)
+    add("--use_size_512", type=bool_flag, default=True)
     add("--n_sample_frames", type=int, default=16)
     add("--output_fps", type=int, default=16)
     add("--input_data_type", type=str, default="videos")
     # adapter architecture
     add("--cross_attention_dim", type=int, default=1024)
-    add("--add_spatial_resnet", type=bool, default=True)
-    add("--add_temporal_resnet", type=bool, default=True)
-    add("--add_spatial_transformer", type=bool, default=True)
-    add("--add_temporal_transformer", type=bool, default=True)
+    add("--add_spatial_resnet", type=bool_flag, default=True)
+    add("--add_temporal_resnet", type=bool_flag, default=True)
+    add("--add_spatial_transformer", type=bool_flag, default=True)
+    add("--add_temporal_transformer", type=bool_flag, default=True)
     add("--num_blocks", type=int, default=1)
     add("--adapter_locations", type=str, nargs="+", default=["A", "B", "C", "D", "M"])
     add("--num_adapters_per_location", type=int, default=3)
     # controlnet
-    add("--skip_conv_in", type=bool, default=False)
-    add("--skip_time_emb", type=bool, default=False)
+    add("--skip_conv_in", type=bool_flag, default=False)
+    add("--skip_time_emb", type=bool_flag, default=False)
     add("--fixed_controlnet_timestep", type=int, default=-1)
     add("--control_types", type=str, nargs="+", default=["depth"])
     add("--mixed_control_types_training", type=str, nargs="+", default=[])
-    add("--multi_source_random_select_control_types", type=bool, default=False)
+    add("--multi_source_random_select_control_types", type=bool_flag, default=False)
     add("--max_num_multi_source_train", type=int, default=4)
     add("--router_type", type=str, default="simple_weights")
-    add("--apply_sparse_frame_mask", type=bool, default=None)
+    add("--apply_sparse_frame_mask", type=bool_flag, default=None)
     # optimization (`train.py:86-179`)
     add("--learning_rate", type=float, default=5e-5)
     add("--adam_beta1", type=float, default=0.9)
@@ -73,7 +86,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--max_grad_norm", type=float, default=1.0)
     add("--noise_offset", type=float, default=0.05)
     add("--snr_gamma", type=float, default=None)
-    add("--latent_nan_checking", type=bool, default=False)
+    add("--latent_nan_checking", type=bool_flag, default=False)
     add("--max_train_steps", type=int, default=50000)
     add("--gradient_accumulation_steps", type=int, default=1)
     add("--checkpointing_steps", type=int, default=2000)
@@ -109,12 +122,12 @@ def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPars
     add("--width", type=int, default=512)
     add("--n_sample_frames", type=int, default=16)
     add("--output_fps", type=int, default=16)
-    add("--skip_conv_in", type=bool, default=False)
-    add("--skip_time_emb", type=bool, default=False)
+    add("--skip_conv_in", type=bool_flag, default=False)
+    add("--skip_time_emb", type=bool_flag, default=False)
     add("--sparse_frames", type=str, nargs="+", default=None)
     add("--inference_expert_masks", type=int, nargs="+", default=None)
-    add("--extract_control_conditions", type=bool, default=False)
-    add("--use_size_512", type=bool, default=True)
+    add("--extract_control_conditions", type=bool_flag, default=False)
+    add("--use_size_512", type=bool_flag, default=True)
     add("--seed", type=int, default=42)
     # checkpoints (local paths in this zero-egress image)
     add("--pretrained_model_path", type=str, default=None)
