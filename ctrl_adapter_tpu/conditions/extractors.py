@@ -307,6 +307,24 @@ class ConditionExtractor:
 
             det = ScribbleHED(self._paths["scribble"])
             self._estimators["scribble"] = lambda imgs: det(imgs, scribble=True)
+        elif control_type == "lineart" and str(
+                self._paths.get("lineart", "")).endswith((".pth", ".pt")):
+            # TPU-native Informative-Drawings generator (flax) from sk_model.pth
+            from .lineart import LineartDetector as _FlaxLineart
+
+            self._estimators["lineart"] = _FlaxLineart(self._paths["lineart"])
+        elif control_type == "softedge" and str(
+                self._paths.get("softedge", "")).endswith((".pth", ".pt")):
+            # TPU-native converted PiDiNet (flax) from table5_pidinet.pth
+            from .pidinet import SoftEdgePidiNet
+
+            self._estimators["softedge"] = SoftEdgePidiNet(self._paths["softedge"])
+        elif control_type == "openpose" and str(
+                self._paths.get("openpose", "")).endswith((".pth", ".pt")):
+            # TPU-native CMU body-pose network (flax) from body_pose_model.pth
+            from .openpose import OpenposeDetector as _FlaxOpenpose
+
+            self._estimators["openpose"] = _FlaxOpenpose(self._paths["openpose"])
         elif control_type in ("normal", "softedge", "lineart", "openpose", "scribble"):
             # controlnet_aux detectors (NormalBae / PidiNet / Lineart / OpenPose / HED)
             try:
