@@ -319,6 +319,12 @@ class ConditionExtractor:
             from .pidinet import SoftEdgePidiNet
 
             self._estimators["softedge"] = SoftEdgePidiNet(self._paths["softedge"])
+        elif control_type == "normal" and str(
+                self._paths.get("normal", "")).endswith((".pth", ".pt")):
+            # TPU-native NNET surface-normal estimator (flax) from scannet.pt
+            from .normalbae import NormalBaeDetector as _FlaxNormalBae
+
+            self._estimators["normal"] = _FlaxNormalBae(self._paths["normal"])
         elif control_type == "openpose" and str(
                 self._paths.get("openpose", "")).endswith((".pth", ".pt")):
             # TPU-native CMU body-pose network (flax) from body_pose_model.pth
