@@ -202,10 +202,20 @@ def main():
     parser.add_argument("--fake_weights", action="store_true",
                         help="random params at real architecture (no checkpoints needed)")
     parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--lora", type=str, default=None,
+                        help="LoRA checkpoint folded into the backbone UNet "
+                             "(`inference.py:374-375` load_lora_weights parity)")
+    parser.add_argument("--lora_scale", type=float, default=1.0)
     args = parser.parse_args()
 
     pipe = build_modules(args)
     params = fabricate_params(args, pipe) if args.fake_weights else load_params(args, pipe)
+    if args.lora:
+        from ctrl_adapter_tpu.convert.lora import apply_lora, load_lora_file
+
+        lora_sd = load_lora_file(args.lora)
+        n = apply_lora(params["unet"], lora_sd, scale=args.lora_scale)
+        print(f"merged LoRA deltas into {n} UNet modules from {args.lora}")
 
     # conditioning embeddings: with fake weights use fixed pseudo-embeddings so the
     # CLI runs hermetically; with real checkpoints use the CLIP encoders.
