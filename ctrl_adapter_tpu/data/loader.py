@@ -157,11 +157,13 @@ class ImageDataset:
 def collate(
     items: List[Dict[str, np.ndarray]],
     encode_text: Optional[Callable[[List[str]], np.ndarray]] = None,
+    keep_raw: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stack host items into a device-ready batch.
 
     frames: (b, f, h, w, 3); controlnet_cond: (E, b*f, h, w, 3) matching the
-    expert-major layout of `train.py:1128-1130`.
+    expert-major layout of `train.py:1128-1130`. ``keep_raw`` additionally passes
+    the captions and first frames through (for a ``post_collate`` encoder stage).
     """
     frames = np.stack([it["frames"] for it in items])
     conds = np.stack([it["conditions"] for it in items])  # (b, E, f, h, w, 3)
@@ -170,6 +172,9 @@ def collate(
     batch = {"frames": frames, "controlnet_cond": conds}
     if encode_text is not None:
         batch["controlnet_text_emb"] = encode_text([it["caption"] for it in items])
+    if keep_raw:
+        batch["captions"] = [it["caption"] for it in items]
+        batch["first_frames"] = np.stack([it["first_frame"] for it in items])
     return batch
 
 
@@ -187,10 +192,14 @@ class Prefetcher:
         num_workers: int = 1,
         queue_depth: int = 2,
         seed: int = 0,
+        control_types_chooser: Optional[Callable[[random.Random], Sequence[str]]] = None,
+        post_collate: Optional[Callable[[Dict], Dict]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.encode_text = encode_text
+        self.control_types_chooser = control_types_chooser
+        self.post_collate = post_collate
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._rng = random.Random(seed)
@@ -204,11 +213,22 @@ class Prefetcher:
     def _worker(self, worker_id: int) -> None:
         rng = random.Random((worker_id + 1) * 7919 + self._rng.randint(0, 1 << 30))
         while not self._stop.is_set():
+            # mixed-control-types training picks ONE condition per batch
+            # (`train.py:1110-1124` semantics); all items in the batch share it.
+            ctypes = (self.control_types_chooser(rng)
+                      if self.control_types_chooser else None)
             items = [
-                self.dataset.get(rng.randrange(len(self.dataset)))
+                (self.dataset.get(rng.randrange(len(self.dataset)))
+                 if ctypes is None else
+                 self.dataset.get(rng.randrange(len(self.dataset)), ctypes))
                 for _ in range(self.batch_size)
             ]
-            batch = collate(items, self.encode_text)
+            batch = collate(items, self.encode_text,
+                            keep_raw=self.post_collate is not None)
+            if ctypes is not None:
+                batch["control_types"] = list(ctypes)
+            if self.post_collate is not None:
+                batch = self.post_collate(batch)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)

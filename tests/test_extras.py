@@ -176,3 +176,48 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(np.asarray(out["router"]["params"]["logits"]),
                                   [0.5, -0.5])
+
+
+def test_video_dataset_and_mixed_prefetch():
+    """Real mp4 pipeline on the reference sample_data: fps-sampled frames,
+    canny extraction, per-batch mixed-control-type choice and a post_collate
+    encoder stage running inside the worker (`train.py:770-865,1110-1124`)."""
+    import numpy as np
+
+    from ctrl_adapter_tpu.data.loader import Prefetcher, VideoDataset
+
+    ds = VideoDataset(
+        "/root/reference/sample_data/videos",
+        "/root/reference/sample_data/video_captions.csv",
+        n_sample_frames=2, output_fps=4, size=64, control_types=["canny"],
+    )
+    assert len(ds) >= 1
+    item = ds.get(0)
+    assert item["frames"].shape == (2, 64, 64, 3)
+    assert item["conditions"].shape == (1, 2, 64, 64, 3)
+    assert isinstance(item["caption"], str)
+
+    seen_types = []
+
+    def post_collate(batch):
+        caps = batch.pop("captions")
+        first = batch.pop("first_frames")
+        assert first.shape[0] == len(caps) == 1
+        batch["controlnet_text_emb"] = np.zeros((len(caps), 77, 768), np.float32)
+        return batch
+
+    pf = Prefetcher(
+        ds, batch_size=1, num_workers=1, queue_depth=1, seed=0,
+        control_types_chooser=lambda rng: [rng.choice(["canny", "canny"])],
+        post_collate=post_collate)
+    try:
+        for _ in range(2):
+            batch = pf.next()
+            assert batch["control_types"] == ["canny"]
+            seen_types.append(batch["control_types"][0])
+            assert batch["frames"].shape == (1, 2, 64, 64, 3)
+            assert batch["controlnet_cond"].shape == (1, 2, 64, 64, 3)
+            assert batch["controlnet_text_emb"].shape == (1, 77, 768)
+    finally:
+        pf.close()
+    assert seen_types == ["canny", "canny"]

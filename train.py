@@ -53,6 +53,118 @@ def fabricate(module, *args, seed=0, scale=0.02, **kwargs):
     )
 
 
+def load_frozen_real(args, trainer):
+    """Restore converted frozen towers from local checkpoints.
+
+    Layout: ``--pretrained_model_path/{unet,vae}`` orbax dirs (written by
+    ``python -m ctrl_adapter_tpu.convert.convert_checkpoints``) and one
+    converted SD-v1.5 ControlNet dir per control type
+    (reference `train.py:534-559` loads the `lllyasviel/control_v11*` zoo).
+
+    Returns (frozen, controlnet_by_type): for mixed-control-types training the
+    per-type towers stay resident on device and are swapped into the step's
+    input tree per batch — same shapes, so no recompilation (`train.py:1110-1124`).
+    """
+    import orbax.checkpoint as ocp
+
+    from ctrl_adapter_tpu.train.checkpoints import load_torch_release
+
+    cfg = trainer.config
+    if not args.pretrained_model_path:
+        raise SystemExit(
+            "--pretrained_model_path required: local dir with converted "
+            "unet/vae/text encoders (ctrl_adapter_tpu.convert.convert_checkpoints)")
+    frozen = {}
+    with ocp.StandardCheckpointer() as ckptr:
+        for name in ("unet", "vae"):
+            frozen[name] = ckptr.restore(
+                os.path.abspath(os.path.join(args.pretrained_model_path, name)))
+    paths = args.controlnet_model_paths or []
+    types = list(args.mixed_control_types_training or []) or list(args.control_types)
+    if len(paths) < max(cfg.num_experts, 1):
+        raise SystemExit(
+            f"need {max(cfg.num_experts, 1)} --controlnet_model_paths (one per "
+            f"control type), got {len(paths)}")
+    controlnet_by_type = {}
+    for i, path in enumerate(paths):
+        tree, _ = load_torch_release(path)
+        if i < cfg.num_experts:
+            frozen[f"controlnet_{i}"] = tree
+        if i < len(types):
+            controlnet_by_type[types[i]] = tree
+    return frozen, controlnet_by_type
+
+
+def build_real_data_pipeline(args, cfg, b, f):
+    """Host-side pipeline: dataset -> condition extraction -> CLIP embeddings,
+    all inside prefetch workers so the device never waits (SURVEY §7 hard-part 5).
+
+    Mirrors the reference collate (`train.py:770-865`): SD-v1.5 text emb for the
+    ControlNet, backbone text emb, CLIP image emb (video backbones) or dual-text
+    + time-ids (SDXL)."""
+    from ctrl_adapter_tpu.conditions.extractors import ConditionExtractor
+    from ctrl_adapter_tpu.data.loader import ImageDataset, Prefetcher, VideoDataset
+    from ctrl_adapter_tpu.models.text_encoders import (
+        CLIPImageEncoder, CLIPTextEncoder, ControlNetTextEncoder,
+    )
+
+    annotators = json.loads(os.environ.get("CTRL_ADAPTER_ANNOTATORS", "{}"))
+    extractor = ConditionExtractor(local_model_paths=annotators)
+    mixed = list(args.mixed_control_types_training or [])
+    train_types = list(args.control_types)
+
+    if args.model_name == "sdxl" or args.input_data_type == "images":
+        dataset = ImageDataset(
+            args.train_data_path, args.train_prompt_path, size=args.height,
+            control_size=cfg.control_latent_size * 8,
+            control_types=train_types, extractor=extractor)
+    else:
+        dataset = VideoDataset(
+            args.train_data_path, args.train_prompt_path, n_sample_frames=f,
+            output_fps=args.output_fps, size=args.height,
+            control_types=train_types, extractor=extractor)
+
+    cn_text = ControlNetTextEncoder(args.pretrained_model_path)
+    text_enc = CLIPTextEncoder(args.pretrained_model_path)
+    text_enc_2 = (CLIPTextEncoder(args.pretrained_model_path,
+                                  subfolder="text_encoder_2", with_projection=True)
+                  if args.model_name == "sdxl" else None)
+    image_enc = (CLIPImageEncoder(args.pretrained_model_path)
+                 if args.model_name in ("i2vgenxl", "svd") else None)
+
+    def post_collate(batch):
+        captions = batch.pop("captions")
+        first = batch.pop("first_frames")  # (b, h, w, 3) in [-1, 1]
+        # positive-only SD-v1.5 embedding for training (`train.py:800-812`)
+        cn = cn_text(captions)
+        batch["controlnet_text_emb"] = cn[len(captions):]
+        if args.model_name == "sdxl":
+            h1, _ = text_enc.encode_with_pooled(captions)
+            h2, pooled2 = text_enc_2.encode_with_pooled(captions)
+            batch["prompt_embeds"] = np.concatenate([h1, h2], axis=-1)
+            batch["pooled_prompt_embeds"] = pooled2
+            batch["additional_time_ids"] = np.tile(
+                np.array([args.height, args.width, 0, 0,
+                          args.height, args.width], np.float32), (len(captions), 1))
+        else:
+            batch["prompt_embeds"] = text_enc(captions)
+            first_u8 = ((first + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            batch["image_embeddings"] = image_enc(list(first_u8))
+        if cfg.num_experts > 1:
+            mask = np.zeros((cfg.num_experts,), np.float32)
+            k = np.random.randint(1, args.max_num_multi_source_train + 1)
+            mask[np.random.choice(cfg.num_experts, k, replace=False)] = 1.0
+            batch["expert_mask"] = mask
+        return batch
+
+    chooser = None
+    if mixed and cfg.num_experts == 1:
+        chooser = lambda rng: [rng.choice(mixed)]  # noqa: E731
+
+    return Prefetcher(dataset, batch_size=b, num_workers=2, seed=args.seed,
+                      control_types_chooser=chooser, post_collate=post_collate)
+
+
 def build_trainer(args) -> CtrlAdapterTrainer:
     num_experts = (
         len(args.control_types)
@@ -187,13 +299,11 @@ def main():
     f = 1 if args.model_name == "sdxl" else args.n_sample_frames
     lh, lw = args.height // 8, args.width // 8
 
-    if not args.fake_weights:
-        raise SystemExit(
-            "Real-checkpoint training needs converted local backbones "
-            "(--pretrained_model_path); conversion tooling: "
-            "ctrl_adapter_tpu.convert.torch_to_jax. Use --fake_weights for smoke/perf."
-        )
-    frozen = fabricate_frozen(args, trainer, b, f, lh, lw)
+    if args.fake_weights:
+        frozen = fabricate_frozen(args, trainer, b, f, lh, lw)
+        controlnet_by_type = None
+    else:
+        frozen, controlnet_by_type = load_frozen_real(args, trainer)
     trainable = init_trainable(trainer, frozen, b, f)
     opt_state = trainer.init_optimizer(trainable)
 
@@ -220,6 +330,9 @@ def main():
     frozen = replicate(mesh, frozen)
     trainable = replicate(mesh, trainable)
     opt_state = replicate(mesh, opt_state)
+    if controlnet_by_type:
+        controlnet_by_type = {k: replicate(mesh, v)
+                              for k, v in controlnet_by_type.items()}
 
     # data: synthetic (random) batches, or the video/image dataset pipeline
     if args.synthetic_data or args.fake_weights:
@@ -249,8 +362,17 @@ def main():
                 mask[on] = 1.0
                 batch["expert_mask"] = mask
             return batch
-    else:  # pragma: no cover - real data path (needs encoders + checkpoints)
-        raise SystemExit("real-data training requires --fake_weights=False checkpoints")
+    else:
+        prefetcher = build_real_data_pipeline(args, cfg, b, f)
+
+        def next_batch():
+            batch = prefetcher.next()
+            ctypes = batch.pop("control_types", None)
+            if ctypes and controlnet_by_type:
+                # mixed-type training: swap the matching frozen tower into the
+                # step input (same shapes -> no recompile, stays on device)
+                frozen["controlnet_0"] = controlnet_by_type[ctypes[0]]
+            return batch
 
     log_path = os.path.join(args.DATA_PATH, "train_log.jsonl")
     os.makedirs(args.DATA_PATH, exist_ok=True)
@@ -340,6 +462,9 @@ def main():
                 config={"model_name": args.model_name,
                         "adapter_locations": list(args.adapter_locations)})
             print(f"checkpoint -> {path}", file=sys.stderr)
+
+    if not (args.synthetic_data or args.fake_weights):
+        prefetcher.close()
 
 
 if __name__ == "__main__":
