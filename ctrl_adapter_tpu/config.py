@@ -79,6 +79,13 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--apply_sparse_frame_mask", type=bool_flag, default=None)
     # optimization (`train.py:86-179`)
     add("--learning_rate", type=float, default=5e-5)
+    add("--lr_scheduler", type=str, default="constant",
+        choices=["constant", "constant_with_warmup", "linear", "cosine"])
+    add("--lr_warmup_steps", type=int, default=0)
+    add("--scale_lr", type=bool_flag, default=False,
+        help="multiply lr by the device count (reference `train.py:688-689` "
+             "scales by num_processes)")
+    add("--use_8bit_adam", type=bool_flag, default=False)
     add("--adam_beta1", type=float, default=0.9)
     add("--adam_beta2", type=float, default=0.999)
     add("--adam_weight_decay", type=float, default=1e-2)
@@ -90,7 +97,17 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--max_train_steps", type=int, default=50000)
     add("--gradient_accumulation_steps", type=int, default=1)
     add("--checkpointing_steps", type=int, default=2000)
+    add("--save_n_steps", type=int, default=None,
+        help="reference alias for --checkpointing_steps; wins when set")
+    add("--save_starting_step", type=int, default=0)
     add("--validate_every_steps", type=int, default=2000)
+    add("--run_validation_at_start", type=bool_flag, default=False)
+    add("--num_repeats", type=int, default=1,
+        help="experimental repeated-adapter aggregation (`ctrl_adapter.py:78-100`)")
+    add("--max_vae_encode", type=int, default=None,
+        help="chunk size for VAE encoding inside the train step "
+             "(`train.py:1027-1036`); None encodes all frames at once")
+    add("--disable_optimizer_restore", type=bool_flag, default=False)
     add("--num_inference_steps", type=int, default=25)
     add("--seed", type=int, default=42)
     add("--mixed_precision", type=str, default="bf16")

@@ -62,6 +62,30 @@ class TrainConfig:
     fixed_controlnet_timestep: int = -1  # >=0: constant ControlNet timestep (`train.py:952-955`)
     latent_nan_checking: bool = False  # scrub NaN latents (`train.py:1043-1045`)
     gradient_accumulation_steps: int = 1  # optax.MultiSteps (`train.py:1453-1458`)
+    lr_scheduler: str = "constant"  # constant | constant_with_warmup | linear | cosine
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 50000  # horizon for linear/cosine decay
+    max_vae_encode: Optional[int] = None  # chunked VAE encode (`train.py:1027-1036`)
+
+
+def _build_lr_schedule(cfg: "TrainConfig"):
+    """Reference lr schedules (diffusers ``get_scheduler`` names, `train.py:167-179`)
+    as optax schedules; warmup is linear from 0."""
+    base, warm, total = cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps
+    if cfg.lr_scheduler == "constant" and not warm:
+        return base
+    if cfg.lr_scheduler in ("constant", "constant_with_warmup"):
+        tail = optax.constant_schedule(base)
+    elif cfg.lr_scheduler == "linear":
+        tail = optax.linear_schedule(base, 0.0, max(1, total - warm))
+    elif cfg.lr_scheduler == "cosine":
+        tail = optax.cosine_decay_schedule(base, max(1, total - warm))
+    else:
+        raise ValueError(f"unknown lr_scheduler: {cfg.lr_scheduler}")
+    if not warm:
+        return tail
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base, warm), tail], [warm])
 
 
 class CtrlAdapterTrainer:
@@ -87,10 +111,11 @@ class CtrlAdapterTrainer:
             DDIMConfig(prediction_type=config.prediction_type)
         )
         self.sigmas_table = jnp.asarray(karras_sigmas(1000))  # SVD (`utils_svd.py:18-32`)
+        self.lr_schedule = _build_lr_schedule(config)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adamw(
-                config.learning_rate,
+                self.lr_schedule,
                 b1=config.adam_beta1,
                 b2=config.adam_beta2,
                 eps=config.adam_epsilon,
@@ -122,9 +147,19 @@ class CtrlAdapterTrainer:
             ("vae", "noise", "offset", "time", "dropout"), jax.random.split(rng, 5)
         ))
 
-        # 1.1 VAE encode (frozen, `train.py:1027-1048`)
+        # 1.1 VAE encode (frozen, `train.py:1027-1048`); optionally chunked over
+        # the (b*f) axis to bound encoder activation memory (`--max_vae_encode`)
         flat = frames.reshape(b * f, h, w, 3)
-        mean, logvar = self.vae.apply(frozen["vae"], flat, method="encode_moments")
+        if cfg.max_vae_encode and cfg.max_vae_encode < b * f and \
+                (b * f) % cfg.max_vae_encode == 0:
+            chunks = flat.reshape(-1, cfg.max_vae_encode, h, w, 3)
+            mean, logvar = jax.lax.map(
+                lambda c: self.vae.apply(frozen["vae"], c, method="encode_moments"),
+                chunks)
+            mean = mean.reshape(b * f, *mean.shape[2:])
+            logvar = logvar.reshape(b * f, *logvar.shape[2:])
+        else:
+            mean, logvar = self.vae.apply(frozen["vae"], flat, method="encode_moments")
         z_noise = jax.random.normal(rngs["vae"], mean.shape, jnp.float32)
         latents = mean + jnp.exp(0.5 * logvar) * z_noise
         if cfg.latent_nan_checking:

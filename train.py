@@ -193,6 +193,10 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         fixed_controlnet_timestep=args.fixed_controlnet_timestep,
         latent_nan_checking=getattr(args, "latent_nan_checking", False),
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        lr_scheduler=getattr(args, "lr_scheduler", "constant"),
+        lr_warmup_steps=getattr(args, "lr_warmup_steps", 0),
+        max_train_steps=args.max_train_steps,
+        max_vae_encode=getattr(args, "max_vae_encode", None),
     )
     temporal = args.model_name in ("i2vgenxl", "svd")
     adapter = ControlNetAdapter(
@@ -205,6 +209,7 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         add_temporal_resnet=args.add_temporal_resnet and temporal,
         add_spatial_transformer=args.add_spatial_transformer,
         add_temporal_transformer=args.add_temporal_transformer and temporal,
+        num_repeats=getattr(args, "num_repeats", 1),
     )
     cnet = ControlNetModel()
     vae = AutoencoderKL(config=VAEConfig(scaling_factor=cfg.vae_scaling_factor))
@@ -286,11 +291,18 @@ def main():
     args = merge_yaml_over_args(args, args.yaml_file)
     random.seed(args.seed)
     np.random.seed(args.seed)
+    if getattr(args, "save_n_steps", None):  # reference flag name wins when set
+        args.checkpointing_steps = args.save_n_steps
+    if getattr(args, "use_8bit_adam", False):
+        print("8-bit Adam is a CUDA/bitsandbytes feature; using full-precision "
+              "optax AdamW (states are sharded with the data mesh)", file=sys.stderr)
     if args.multihost:
         # multi-host: one process per host, mesh spans the slice over ICI
         # (TPU-native replacement for accelerate's NCCL process group, SURVEY §2.4)
         jax.distributed.initialize()
 
+    if getattr(args, "scale_lr", False):
+        args.learning_rate *= jax.device_count()  # reference `train.py:688-689`
     trainer = build_trainer(args)
     cfg = trainer.config
     mesh = create_mesh()
@@ -320,8 +332,9 @@ def main():
         trainable["adapter"] = restored["adapter"]
         if "router" in restored:
             trainable["router"] = restored["router"]
-        if "opt_state" in restored:
-            opt_state = restored["opt_state"]
+        if "opt_state" in restored and not getattr(
+                args, "disable_optimizer_restore", False):
+            opt_state = restored["opt_state"]  # `train.py:716-735` try/except analog
         print(f"resumed adapter from {args.adapter_resume_path} "
               f"@ step {args.adapter_resume_step}", file=sys.stderr)
     n_params = sum(x.size for x in jax.tree.leaves(trainable))
@@ -424,6 +437,9 @@ def main():
         save_gif(list(np.asarray(video[0], np.float32)), out, fps=args.output_fps)
         print(f"validation sample -> {out}", file=sys.stderr)
 
+    if args.run_validation and getattr(args, "run_validation_at_start", False):
+        run_validation(0)  # reference `--run_validation_at_start` (`train.py:1432-1434`)
+
     for step in range(1, args.max_train_steps + 1):
         t0 = time.time()
         rng, step_rng = jax.random.split(rng)
@@ -443,7 +459,9 @@ def main():
             trainable, opt_state, frozen, batch, sparse, step_rng)
         loss = float(metrics["loss"])
         dt = time.time() - t0
-        rec = {"step": step, "loss": loss, "lr": args.learning_rate, "loss_time": dt}
+        lr_now = (float(trainer.lr_schedule(step)) if callable(trainer.lr_schedule)
+                  else trainer.lr_schedule)
+        rec = {"step": step, "loss": loss, "lr": lr_now, "loss_time": dt}
         if cfg.num_experts > 1:
             rec["down_block_weights"] = np.asarray(metrics["down_block_weights"]).tolist()
         with open(log_path, "a") as fh:
@@ -455,7 +473,8 @@ def main():
         if args.run_validation and step % args.validate_every_steps == 0:
             run_validation(step)
 
-        if step % args.checkpointing_steps == 0 or step == args.max_train_steps:
+        if (step % args.checkpointing_steps == 0 or step == args.max_train_steps) \
+                and step >= getattr(args, "save_starting_step", 0):
             path = save_checkpoint(
                 args.DATA_PATH, step, trainable["adapter"],
                 trainable.get("router"), opt_state,
