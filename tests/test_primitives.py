@@ -138,3 +138,32 @@ def test_timestep_embedding_formula():
     # fp32 exp/cos vs the fp64 numpy reference: a ~1e-7 relative frequency rounding is
     # amplified by t=999 into ~2e-3 phase error — inherent fp32, same as torch.
     np.testing.assert_allclose(got, ref, rtol=1e-2, atol=5e-3)
+
+
+def test_attention_small_seq_and_single_key_shortcuts():
+    """The temporal-attention fast paths must be exact: (1) packed tiny-seq
+    self-attention with a block-diagonal mask equals naive attention; (2)
+    single-key cross-attention equals V broadcast (softmax of one logit = 1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax
+
+    from ctrl_adapter_tpu.ops.flash_attention import dot_product_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((32, 14, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((32, 14, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((32, 14, 2, 8)), jnp.float32)
+    want = jax.nn.dot_product_attention(q, k, v)
+    got = dot_product_attention(q, k, v)  # seq 14, b=32 -> grouped path (g=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+    from ctrl_adapter_tpu.ops.flash_attention import _grouped_small_seq_attention
+
+    got_g = _grouped_small_seq_attention(q, k, v, 8)  # force the packed path
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want), atol=2e-6)
+
+    k1 = jnp.asarray(rng.standard_normal((32, 1, 2, 8)), jnp.float32)
+    v1 = jnp.asarray(rng.standard_normal((32, 1, 2, 8)), jnp.float32)
+    want1 = jax.nn.dot_product_attention(q, k1, v1)
+    got1 = dot_product_attention(q, k1, v1)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=1e-6)
