@@ -30,6 +30,10 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from ctrl_adapter_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # explicit JAX_PLATFORMS (e.g. cpu smoke) wins over the proxy plugin
+
 TORCH_A100_REFERENCE_FPS_ESTIMATE = 0.75  # documented estimate, see module docstring
 
 

@@ -94,8 +94,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
             flash_attention,
         )
 
-        bq = min(_BLOCK, q.shape[1])
-        bkv = min(_BLOCK, k.shape[1])
+        # measured on v5e at the video shapes (B=28, T=4096, H=64): bq 2048 /
+        # bk 1024 runs ~14% faster than 512/512; larger blocks fail to compile
+        # (VMEM) on this part
+        bq = next(bb for bb in (2048, 1024, 512) if q.shape[1] % bb == 0)
+        bkv = next(bb for bb in (1024, 512) if k.shape[1] % bb == 0)
         sizes = BlockSizes(
             block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bkv,

@@ -30,6 +30,11 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ.get("CTRL_ADAPTER_JAX_CACHE", "/tmp/jax_ctrl_adapter_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+from ctrl_adapter_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # let an explicit JAX_PLATFORMS=cpu win over the proxy plugin
+
 from ctrl_adapter_tpu.config import add_train_args, merge_yaml_over_args
 from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
 from ctrl_adapter_tpu.models.controlnet import ControlNetModel
