@@ -54,40 +54,20 @@ def _eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     )
 
 
-def _grouped_small_seq_attention(q: jnp.ndarray, k: jnp.ndarray,
-                                 v: jnp.ndarray, g: int) -> jnp.ndarray:
-    """Tiny-sequence self-attention packed g-groups-per-MXU-tile.
-
-    The temporal attentions of the video UNets/adapters run at seq <= 16 over a
-    huge batch (b * h * w); a naive batched matmul uses a 14x14 corner of every
-    128x128 MXU tile (~1% utilization, measured ~1 TFLOP/s on v5e). Packing g
-    consecutive batch groups into one (g*t) sequence with a block-diagonal mask
-    raises tile utilization to (g*t/128)^2 — ~6x faster end to end despite the
-    masked extra FLOPs.
-    """
-    b, t, n, h = q.shape
-    qg = q.reshape(b // g, g * t, n, h)
-    kg = k.reshape(b // g, g * t, n, h)
-    vg = v.reshape(b // g, g * t, n, h)
-    group_id = jnp.arange(g * t) // t
-    mask = (group_id[:, None] == group_id[None, :])[None, None]  # (1,1,gt,gt)
-    out = jax.nn.dot_product_attention(qg, kg, vg, mask=mask)
-    return out.reshape(b, t, n, h)
-
-
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, N, H) attention; flash kernel on TPU for large self-attention."""
-    tq, tk = q.shape[1], k.shape[1]
+    """(B, T, N, H) attention; flash kernel on TPU for large self-attention.
+
+    Note: packing tiny-seq (frames) attention g-groups-per-MXU-tile under a
+    block-diagonal mask was tried and REVERTED — the g^2-fold larger fp32
+    softmax dominates (3.8 ms vs 2.1 ms unpacked at (8192, 14, 5, 64) on v5e).
+    """
+    tk = k.shape[1]
     if tk == 1:
         # Single-key attention is exact identity over V: softmax of one logit
-        # is 1 regardless of scale (SVD/I2VGen temporal cross-attention runs
-        # against a 1-token CLIP-image context — skip QK^T entirely).
+        # is 1 regardless of scale (SVD/I2VGen temporal cross-attention and all
+        # Ctrl-Adapter cross-attention run against a 1-token image context —
+        # skip QK^T entirely).
         return jnp.broadcast_to(v, q.shape[:2] + v.shape[2:]).astype(v.dtype)
-    if tq == tk and tq <= 64:
-        # largest group count that still fits one 128-lane tile AND divides b
-        for g in range(128 // tq, 1, -1):
-            if q.shape[0] % g == 0:
-                return _grouped_small_seq_attention(q, k, v, g)
     if _flash_available() and _eligible(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,

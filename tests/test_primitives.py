@@ -141,9 +141,9 @@ def test_timestep_embedding_formula():
 
 
 def test_attention_small_seq_and_single_key_shortcuts():
-    """The temporal-attention fast paths must be exact: (1) packed tiny-seq
-    self-attention with a block-diagonal mask equals naive attention; (2)
-    single-key cross-attention equals V broadcast (softmax of one logit = 1)."""
+    """The attention fast paths must be exact: tiny-seq input passes through
+    unchanged semantics, and single-key cross-attention equals V broadcast
+    (softmax of one logit = 1)."""
     import numpy as np
     import jax.numpy as jnp
     import jax
@@ -155,12 +155,8 @@ def test_attention_small_seq_and_single_key_shortcuts():
     k = jnp.asarray(rng.standard_normal((32, 14, 2, 8)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((32, 14, 2, 8)), jnp.float32)
     want = jax.nn.dot_product_attention(q, k, v)
-    got = dot_product_attention(q, k, v)  # seq 14, b=32 -> grouped path (g=8)
+    got = dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
-    from ctrl_adapter_tpu.ops.flash_attention import _grouped_small_seq_attention
-
-    got_g = _grouped_small_seq_attention(q, k, v, 8)  # force the packed path
-    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want), atol=2e-6)
 
     k1 = jnp.asarray(rng.standard_normal((32, 1, 2, 8)), jnp.float32)
     v1 = jnp.asarray(rng.standard_normal((32, 1, 2, 8)), jnp.float32)
