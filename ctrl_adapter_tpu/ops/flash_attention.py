@@ -68,6 +68,16 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         # Ctrl-Adapter cross-attention run against a 1-token image context —
         # skip QK^T entirely).
         return jnp.broadcast_to(v, q.shape[:2] + v.shape[2:]).astype(v.dtype)
+    if q.shape[1] <= 32 and tk <= 32:
+        # tiny-seq (temporal/frame) attention: a direct einsum chain measures
+        # ~25% faster than jax.nn.dot_product_attention at (8192, 14, 5, 64)
+        # on v5e (1.54 vs 2.06 ms). Softmax stays fp32; logits carry the input
+        # dtype (bf16 under mixed precision — the same quantization the torch
+        # reference accepts from fp16 SDPA).
+        scale = q.shape[-1] ** -0.5
+        s = jnp.einsum("btnh,bsnh->bnts", q, k) * scale
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+        return jnp.einsum("bnts,bsnh->btnh", p, v)
     if _flash_available() and _eligible(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
