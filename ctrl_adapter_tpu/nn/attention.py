@@ -92,6 +92,23 @@ class Attention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Creates nn.Dense-identical params (``kernel``/``bias``, same inits)
+    without binding them to a matmul — so ops can consume them fused."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
@@ -99,18 +116,21 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(
-            self.dim_out * 2, name="proj", dtype=self.dtype, param_dtype=self.param_dtype
-        )(x)
-        x, gate = jnp.split(x, 2, axis=-1)
+        from ..ops.fused_ff import geglu
+
+        kernel, bias = _DenseParams(
+            self.dim_out * 2, name="proj", param_dtype=self.param_dtype
+        )(x.shape[-1])
         # erf-gelu costs 6.5x tanh-gelu on the v5e VPU (2.14 vs 0.33 ms per
         # 147M activations) and the difference (<1e-3 relative) is below bf16
         # quantization noise, so bf16 compute uses the tanh form; fp32 (the
         # golden-parity test configuration) keeps the exact diffusers math.
-        # CTRL_ADAPTER_EXACT_GELU=1 forces exact everywhere.
+        # CTRL_ADAPTER_EXACT_GELU=1 forces exact everywhere. On TPU the whole
+        # projection+gate fuses into a Pallas kernel that never writes the
+        # 2x-wide intermediate to HBM (ops/fused_ff.py).
         approx = self.dtype == jnp.bfloat16 and os.environ.get(
             "CTRL_ADAPTER_EXACT_GELU") != "1"
-        return x * jax.nn.gelu(gate, approximate=approx)
+        return geglu(x, kernel, bias, approximate=approx, dtype=self.dtype)
 
 
 class FeedForward(nn.Module):
