@@ -289,8 +289,14 @@ class ConditionExtractor:
             try:
                 # TPU-native flax DPT (plain-ViT checkpoints, the reference default)
                 self._estimators["depth"] = DepthDPT(path)
-            except Exception:
-                # hybrid/swin MiDaS checkpoints -> transformers torch-cpu fallback
+            except (FileNotFoundError, OSError, KeyError, ValueError) as e:
+                # hybrid/swin MiDaS checkpoints (incompatible config/weights) ->
+                # transformers torch-cpu fallback. Only expected incompatibility
+                # signals are caught so real bugs in the flax port surface.
+                import sys as _sys
+
+                print(f"depth: flax DPT unavailable for {path!r} ({type(e).__name__}:"
+                      f" {e}); using torch-cpu MiDaS fallback", file=_sys.stderr)
                 self._estimators["depth"] = DepthMidas(path)
         elif control_type == "segmentation":
             path = self._paths.get(
@@ -298,7 +304,12 @@ class ConditionExtractor:
             try:
                 # TPU-native flax SegFormer from a local checkpoint dir
                 self._estimators["segmentation"] = SegmentationSegformer(path)
-            except Exception:
+            except (FileNotFoundError, OSError, KeyError, ValueError) as e:
+                import sys as _sys
+
+                print(f"segmentation: flax SegFormer unavailable for {path!r} "
+                      f"({type(e).__name__}: {e}); using torch-cpu fallback",
+                      file=_sys.stderr)
                 self._estimators["segmentation"] = SegmentationAde(path)
         elif control_type == "scribble" and str(
                 self._paths.get("scribble", "")).endswith((".pth", ".pt", ".safetensors")):

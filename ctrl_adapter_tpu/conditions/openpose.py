@@ -132,11 +132,18 @@ def find_peaks(heatmap: np.ndarray, thre1: float = 0.1) -> List[List[Tuple]]:
     peak_counter = 0
     for part in range(18):
         m = cv2.GaussianBlur(heatmap[:, :, part], (0, 0), 3.0)
-        peaks_binary = np.zeros_like(m, bool)
-        peaks_binary[1:-1, 1:-1] = (
-            (m[1:-1, 1:-1] >= m[:-2, 1:-1]) & (m[1:-1, 1:-1] >= m[2:, 1:-1]) &
-            (m[1:-1, 1:-1] >= m[1:-1, :-2]) & (m[1:-1, 1:-1] >= m[1:-1, 2:]) &
-            (m[1:-1, 1:-1] > thre1))
+        # pytorch-openpose compares against zero-padded shifted maps, so peaks on
+        # the image border stay eligible (they compete against 0, not get excluded).
+        up = np.zeros_like(m)
+        up[1:, :] = m[:-1, :]
+        down = np.zeros_like(m)
+        down[:-1, :] = m[1:, :]
+        left = np.zeros_like(m)
+        left[:, 1:] = m[:, :-1]
+        right = np.zeros_like(m)
+        right[:, :-1] = m[:, 1:]
+        peaks_binary = ((m >= up) & (m >= down) & (m >= left) & (m >= right)
+                        & (m > thre1))
         ys, xs = np.nonzero(peaks_binary)
         peaks = [(int(x), int(y), float(heatmap[y, x, part]), peak_counter + i)
                  for i, (x, y) in enumerate(zip(xs, ys))]

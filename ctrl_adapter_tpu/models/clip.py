@@ -137,7 +137,7 @@ class CLIPTextModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray
+    def __call__(self, input_ids: jnp.ndarray, clip_skip: int = 0
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         cfg = self.config
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="token_embedding",
@@ -153,13 +153,27 @@ class CLIPTextModel(nn.Module):
                 cfg.hidden_act, cfg.layer_norm_eps, name=f"layers_{i}",
                 dtype=self.dtype)(x, causal=True)
             hidden_states.append(x)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm",
-                         dtype=jnp.float32)(x).astype(x.dtype)
-        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+        final_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm",
+                                dtype=jnp.float32)
+        x = final_ln(x).astype(x.dtype)
+        if cfg.eos_token_id == 2:
+            # transformers' legacy branch (CLIPTextModel.forward): official CLIP-L /
+            # SD-v1.5 / SDXL text configs carry eos_token_id=2, which never appears in
+            # CLIPTokenizer output; transformers pools at input_ids.argmax(-1) — the
+            # highest token id, i.e. <|endoftext|> (49407).
+            eos_pos = jnp.argmax(input_ids, axis=-1)
+        else:
+            eos_pos = jnp.argmax(
+                (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)[:, 0]
         if cfg.projection_dim is not None:
             pooled = nn.Dense(cfg.projection_dim, use_bias=False,
                               name="text_projection", dtype=self.dtype)(pooled)
+        if clip_skip:
+            # diffusers SD convention (`i2vgen_xl_..._pipeline.py:278-283`): take the
+            # clip_skip-th layer from the end, then re-apply final_layer_norm. (SDXL
+            # instead consumes raw hidden_states[-2] — via the hidden_states output.)
+            x = final_ln(hidden_states[-(clip_skip + 1)]).astype(x.dtype)
         return x, pooled, tuple(hidden_states)
 
 

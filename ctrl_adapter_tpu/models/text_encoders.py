@@ -61,7 +61,11 @@ def _text_config(cfg: dict, with_projection: bool) -> CLIPTextConfig:
         max_position_embeddings=cfg["max_position_embeddings"],
         hidden_act=cfg.get("hidden_act", "quick_gelu"),
         layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
-        eos_token_id=cfg.get("eos_token_id", 49407) or 49407,
+        # Keep the checkpoint value verbatim: transformers defaults eos_token_id=2,
+        # and the value 2 selects the legacy argmax(input_ids) pooling branch in
+        # CLIPTextModel (see models/clip.py). Coercing to 49407 here would pool at
+        # the first eos for checkpoints transformers pools at the *last* token of.
+        eos_token_id=cfg.get("eos_token_id", 2) or 2,
         projection_dim=cfg.get("projection_dim") if with_projection else None,
     )
 
@@ -78,15 +82,48 @@ class NativeTextTower:
         cfg, self.params = _load_tower(model_path, subfolder)
         self.model = CLIPTextModel(config=_text_config(cfg, with_projection))
 
-    def encode(self, texts: List[str]):
-        """-> (last_hidden_state, pooled, hidden_states tuple) as jax arrays."""
+    def encode(self, texts: List[str], clip_skip: int = 0):
+        """-> (last_hidden_state, pooled, hidden_states tuple) as jax arrays.
+
+        With ``clip_skip>0`` the first output is final_layer_norm applied to the
+        clip_skip-th layer from the end (diffusers SD convention)."""
         tokens = self.tokenizer(
             texts, padding="max_length", truncation=True,
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )
         import jax.numpy as jnp
 
-        return self.model.apply(self.params, jnp.asarray(tokens["input_ids"]))
+        return self.model.apply(self.params, jnp.asarray(tokens["input_ids"]),
+                                clip_skip=clip_skip)
+
+
+def build_controlnet_text_encoder(
+    pretrained_model_path: Optional[str],
+    controlnet_text_encoder_path: Optional[str] = None,
+    model_name: Optional[str] = None,
+) -> "ControlNetTextEncoder":
+    """Resolve the SD-v1.5 CLIP-L dir for the ControlNet prompt tower.
+
+    The reference ControlNetHelper always loads SD-v1.5 (`model/ctrl_helper.py:24`)
+    regardless of backbone. The backbone dir is only a valid substitute for SDXL
+    (its text_encoder is also CLIP-L 768); I2VGen-XL's is OpenCLIP-H (1024-d, shape
+    mismatch with the 768-d ControlNet cross-attention) and SVD checkpoints have no
+    text tower at all — fail loudly instead of producing either error downstream.
+    """
+    path = controlnet_text_encoder_path
+    if path is None:
+        if model_name in ("i2vgenxl", "svd"):
+            raise ValueError(
+                f"--controlnet_text_encoder_path is required for model_name="
+                f"{model_name}: the SD-v1.5 ControlNets need a CLIP-L (768-d) "
+                f"prompt tower, but the {model_name} backbone dir carries "
+                "OpenCLIP-H (i2vgenxl) or no text encoder (svd). Point it at a "
+                "local SD-v1.5 diffusers dir (tokenizer/ + text_encoder/)."
+            )
+        path = pretrained_model_path
+    if path is None:
+        raise ValueError("no SD-v1.5 path for the ControlNet text encoder")
+    return ControlNetTextEncoder(path)
 
 
 class ControlNetTextEncoder:
@@ -116,9 +153,9 @@ class CLIPTextEncoder:
         self.clip_skip = clip_skip
 
     def __call__(self, prompts: List[str]) -> np.ndarray:
-        last, _pooled, hiddens = self.tower.encode(prompts)
-        if self.clip_skip:
-            return np.asarray(hiddens[-(self.clip_skip + 1)])
+        # clip_skip>0 returns final_layer_norm(hidden_states[-(clip_skip+1)]) — the
+        # diffusers SD convention the reference follows (`i2vgen_xl_...py:278-283`).
+        last, _pooled, _hiddens = self.tower.encode(prompts, clip_skip=self.clip_skip)
         return np.asarray(last)
 
     def encode_with_pooled(self, prompts: List[str]):
