@@ -12,9 +12,10 @@ TPU-native design:
   gradient all-reduce is emitted by XLA over ICI (no hand-written comms, SURVEY §2.4);
 - only adapter/router gradients exist: frozen towers run under ``stop_gradient`` so
   XLA never materialises their backward graph (the reference relies on no_grad);
-- static-shape sparse-frame training: the host samples k in [1,4] and passes static
-  key-frame indices; one compiled variant per k (4 total), matching
-  `train.py:1280-1291` semantics.
+- static-shape sparse-frame training: the host samples k in [1,4] and passes the
+  key-frame indices as a *traced* ``(k,)`` int array — only k (the shape) is static,
+  so there are exactly 4 compiled variants regardless of which frames are drawn,
+  matching `train.py:1280-1291` semantics (gather/scatter with dynamic indices).
 """
 
 from __future__ import annotations
@@ -56,6 +57,7 @@ class TrainConfig:
     control_latent_size: int = 64
     skip_conv_in: bool = False
     skip_time_emb: bool = False
+    guess_mode: bool = False  # logspace residual ramp (`controlnet.py:860-865`)
     prediction_type: str = "epsilon"
     num_experts: int = 1
     train_router: bool = False
@@ -138,7 +140,7 @@ class CtrlAdapterTrainer:
         frozen: Dict[str, Any],  # {"unet", "vae", "controlnet_0"..}
         batch: Dict[str, jnp.ndarray],
         rng: jax.Array,
-        sparse_frames: Optional[Tuple[int, ...]],
+        sparse_frames: Optional[jnp.ndarray],  # traced (k,) int frame indices
     ):
         cfg = self.config
         frames = batch["frames"]  # (b, f, h, w, 3) in [-1, 1]
@@ -238,6 +240,7 @@ class CtrlAdapterTrainer:
                 frozen[f"controlnet_{e}"], pooled, cn_t, cn_text,
                 batch["controlnet_cond"][e],
                 skip_conv_in=cfg.skip_conv_in, skip_time_emb=cfg.skip_time_emb,
+                guess_mode=cfg.guess_mode,
             )
             per_down.append([jax.lax.stop_gradient(d) for d in downs])
             per_mid.append(jax.lax.stop_gradient(mid))
@@ -245,9 +248,11 @@ class CtrlAdapterTrainer:
         # router fusion (`train.py:1244-1276`); conditional router types get a
         # timestep/pooled-embedding input (build_router_input)
         if self.router is not None and cfg.num_experts > 1:
+            # embedding router types consume the CLIP image embedding, matching
+            # the reference wiring (`train.py:1251-1254` router_input=image_embeddings)
             router_in = build_router_input(
                 self.router.router_type, controlnet_timesteps,
-                batch.get("prompt_embeds"),
+                batch.get("image_embeddings", batch.get("prompt_embeds")),
             )
             down_w, mid_w = self.router.apply(
                 trainable["router"], router_in, sparse_mask=batch.get("expert_mask")
@@ -260,10 +265,10 @@ class CtrlAdapterTrainer:
         if not use_mid:
             fused_mid = None
 
-        # sparse-frame subselect (static indices; `train.py:1280-1291`)
+        # sparse-frame subselect (traced indices, static k; `train.py:1280-1291`)
         if sparse_frames is not None:
-            idx = jnp.asarray(sparse_frames)
-            adapter_frames = len(sparse_frames)
+            idx = sparse_frames
+            adapter_frames = int(sparse_frames.shape[0])
             sel_down = [d[idx] for d in fused_down]
             sel_mid = fused_mid[idx] if fused_mid is not None else None
         else:
@@ -350,16 +355,20 @@ class CtrlAdapterTrainer:
         return loss, aux
 
     # ------------------------------------------------------------------- step
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0,))
     def train_step(
         self,
         trainable: Dict[str, Any],
         opt_state,
         frozen: Dict[str, Any],
         batch: Dict[str, jnp.ndarray],
-        sparse_frames: Optional[Tuple[int, ...]] = None,
+        sparse_frames: Optional[jnp.ndarray] = None,
         rng: jax.Array = None,
     ):
+        # ``sparse_frames`` is a traced (k,) int32 array (or None): only its shape
+        # enters the jit cache key, so random per-step frame draws compile at most
+        # one variant per k (the reference redraws indices every step,
+        # `train.py:1280-1291`).
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
             trainable, frozen, batch, rng, sparse_frames
         )

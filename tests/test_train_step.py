@@ -107,6 +107,38 @@ def test_train_step_sparse_frames_single_device():
     trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
     opt_state = trainer.init_optimizer(trainable)
     new_trainable, _, metrics = trainer.train_step(
-        trainable, opt_state, frozen, batch, (0, 2), jax.random.PRNGKey(1)
+        trainable, opt_state, frozen, batch, jnp.asarray([0, 2], jnp.int32),
+        jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_sparse_frames_compile_once_per_k():
+    """Random sparse-frame draws must NOT recompile the step: the indices are a
+    traced (k,) array, so the jit cache holds at most one variant per k
+    (reference redraws indices every step, `train.py:1280-1291`)."""
+    trainer = _build(num_frames=4)
+    b, f, hw = 1, 4, 8
+    trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+
+    import random as pyrandom
+
+    pyrandom.seed(0)
+    seen_ks = set()
+    draws = []
+    for _ in range(8):
+        k = pyrandom.randint(1, 2)
+        seen_ks.add(k)
+        draws.append(jnp.asarray(sorted(pyrandom.sample(range(f), k)), jnp.int32))
+    # make sure both k values and multiple distinct index tuples occur
+    assert seen_ks == {1, 2}
+
+    cache_size = type(trainer).train_step._cache_size
+    before = cache_size()
+    for idx in draws:
+        _, _, metrics = trainer.train_step(
+            trainable, opt_state, frozen, batch, idx, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+    assert cache_size() - before <= len(seen_ks)

@@ -110,7 +110,7 @@ def build_real_data_pipeline(args, cfg, b, f):
     from ctrl_adapter_tpu.conditions.extractors import ConditionExtractor
     from ctrl_adapter_tpu.data.loader import ImageDataset, Prefetcher, VideoDataset
     from ctrl_adapter_tpu.models.text_encoders import (
-        CLIPImageEncoder, CLIPTextEncoder, ControlNetTextEncoder,
+        CLIPImageEncoder, CLIPTextEncoder, build_controlnet_text_encoder,
     )
 
     annotators = json.loads(os.environ.get("CTRL_ADAPTER_ANNOTATORS", "{}"))
@@ -129,8 +129,13 @@ def build_real_data_pipeline(args, cfg, b, f):
             output_fps=args.output_fps, size=args.height,
             control_types=train_types, extractor=extractor)
 
-    cn_text = ControlNetTextEncoder(args.pretrained_model_path)
-    text_enc = CLIPTextEncoder(args.pretrained_model_path)
+    cn_text = build_controlnet_text_encoder(
+        args.pretrained_model_path,
+        getattr(args, "controlnet_text_encoder_path", None), args.model_name)
+    # SVD is text-free: its checkpoint dir has no text_encoder subfolder and the
+    # trainer conditions on image embeddings only (`train.py:1294-1298` reference).
+    text_enc = (CLIPTextEncoder(args.pretrained_model_path)
+                if args.model_name != "svd" else None)
     text_enc_2 = (CLIPTextEncoder(args.pretrained_model_path,
                                   subfolder="text_encoder_2", with_projection=True)
                   if args.model_name == "sdxl" else None)
@@ -152,7 +157,8 @@ def build_real_data_pipeline(args, cfg, b, f):
                 np.array([args.height, args.width, 0, 0,
                           args.height, args.width], np.float32), (len(captions), 1))
         else:
-            batch["prompt_embeds"] = text_enc(captions)
+            if text_enc is not None:
+                batch["prompt_embeds"] = text_enc(captions)
             first_u8 = ((first + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
             batch["image_embeddings"] = image_enc(list(first_u8))
         if cfg.num_experts > 1:
@@ -193,6 +199,7 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         control_latent_size=min(64, args.height // 8),
         skip_conv_in=args.skip_conv_in,
         skip_time_emb=args.skip_time_emb,
+        guess_mode=getattr(args, "guess_mode", False),
         num_experts=num_experts,
         train_router=num_experts > 1,
         fixed_controlnet_timestep=args.fixed_controlnet_timestep,
@@ -406,12 +413,16 @@ def main():
         except Exception as e:  # zero-egress image: wandb likely unavailable
             print(f"wandb unavailable ({e}); falling back to JSONL log", file=sys.stderr)
 
-    def run_validation(step):
+    def run_validation(step, batch=None):
         """Generate one control-conditioned sample with the current adapter
-        (the reference invokes the full inference path, `train.py:943-953`)."""
-        from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
+        (the reference invokes the full inference path, `train.py:943-953`).
+
+        With a real ``batch`` (the step's training batch), validation runs the
+        pipeline on that batch's actual prompt/image embeddings, condition images
+        and first-frame latent at the configured inference step count; without one
+        (synthetic/fake-weights smoke) it falls back to fixed pseudo-inputs."""
         from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
-        from ctrl_adapter_tpu.utils.image import save_gif
+        from ctrl_adapter_tpu.utils.image import save_concat_gif, save_gif, unit_to_uint8
 
         if args.model_name != "i2vgenxl":
             print("validation generation currently wired for i2vgenxl", file=sys.stderr)
@@ -428,18 +439,51 @@ def main():
         if trainer.router is not None:
             val_params["router"] = trainable["router"]
         s = cfg.control_latent_size
+
+        if batch is not None:
+            # real-data validation: current batch's embeddings + conditions
+            # (negative CFG halves are zero embeddings, as in training dropout)
+            pe_pos = jnp.asarray(batch["prompt_embeds"][:1])
+            cn_pos = jnp.asarray(batch["controlnet_text_emb"][:1])
+            image_emb = jnp.asarray(batch["image_embeddings"][:1])
+            first = jnp.asarray(batch["frames"][:1, 0])  # (1, h, w, 3)
+            ff_mean, _ = trainer.vae.apply(frozen["vae"], first,
+                                           method="encode_moments")
+            cond = jnp.asarray(batch["controlnet_cond"][:, :f])  # (E, f, 8s, 8s, 3)
+            prompt_embeds = jnp.concatenate([jnp.zeros_like(pe_pos), pe_pos])
+            cn_embeds = jnp.concatenate([jnp.zeros_like(cn_pos), cn_pos])
+            steps = args.num_inference_steps
+        else:
+            prompt_embeds = jnp.zeros((2, 77, args.cross_attention_dim))
+            cn_embeds = jnp.zeros((2, 77, 768))
+            image_emb = jnp.zeros((1, 1, args.cross_attention_dim))
+            ff_mean = jnp.zeros((1, lh, lw, 4))
+            cond = jnp.ones((cfg.num_experts, f, s * 8, s * 8, 3)) * 0.5
+            steps = 4
         video = pipe.generate(
             val_params, jax.random.PRNGKey(step),
-            prompt_embeds=jnp.zeros((2, 77, args.cross_attention_dim)),
-            controlnet_prompt_embeds=jnp.zeros((2, 77, 768)),
-            image_embeddings=jnp.zeros((1, 1, args.cross_attention_dim)),
-            first_frame_latent=jnp.zeros((1, lh, lw, 4)),
-            control_images=jnp.ones((cfg.num_experts, f, s * 8, s * 8, 3)) * 0.5,
+            prompt_embeds=prompt_embeds,
+            controlnet_prompt_embeds=cn_embeds,
+            image_embeddings=image_emb,
+            first_frame_latent=ff_mean,
+            control_images=cond,
             height=args.height, width=args.width, num_frames=f,
-            num_inference_steps=4, control_latent_size=s,
+            num_inference_steps=steps, control_latent_size=s,
         )
         out = os.path.join(args.DATA_PATH, "validation", f"step_{step}.gif")
-        save_gif(list(np.asarray(video[0], np.float32)), out, fps=args.output_fps)
+        frames_np = [np.asarray(v, np.float32) for v in video[0]]
+        save_gif(frames_np, out, fps=args.output_fps)
+        if batch is not None:
+            # condition/generation side-by-side gif, as the reference's
+            # validation writes (`inference.py:513-562` concat outputs)
+            cond_vis = [unit_to_uint8(np.asarray(c, np.float32)) for c in cond[0]]
+            gen_vis = [unit_to_uint8(v) for v in frames_np]
+            if cond_vis[0].shape != gen_vis[0].shape:
+                import cv2
+
+                cond_vis = [cv2.resize(c, gen_vis[0].shape[:2][::-1]) for c in cond_vis]
+            save_concat_gif([cond_vis, gen_vis],
+                            out.replace(".gif", "_concat.gif"), fps=args.output_fps)
         print(f"validation sample -> {out}", file=sys.stderr)
 
     if args.run_validation and getattr(args, "run_validation_at_start", False):
@@ -457,8 +501,10 @@ def main():
 
         sparse = None
         if args.apply_sparse_frame_mask:
+            # traced (k,) index array: only k is static, so at most 4 compiled
+            # step variants total (trainer.train_step docstring)
             k = random.randint(1, 4)
-            sparse = tuple(sorted(random.sample(range(f), k)))
+            sparse = jnp.asarray(sorted(random.sample(range(f), k)), jnp.int32)
 
         trainable, opt_state, metrics = trainer.train_step(
             trainable, opt_state, frozen, batch, sparse, step_rng)
@@ -476,7 +522,10 @@ def main():
         print(f"step {step}: loss={loss:.5f} ({dt:.2f}s)", file=sys.stderr)
 
         if args.run_validation and step % args.validate_every_steps == 0:
-            run_validation(step)
+            # real-data runs validate on the current batch's actual embeddings
+            # and condition images (reference `train.py:943-953`)
+            real_data = not (args.synthetic_data or args.fake_weights)
+            run_validation(step, batch=raw if real_data else None)
 
         if (step % args.checkpointing_steps == 0 or step == args.max_train_steps) \
                 and step >= getattr(args, "save_starting_step", 0):
