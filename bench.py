@@ -68,7 +68,8 @@ def main():
     from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
     from ctrl_adapter_tpu.models.controlnet import ControlNetModel
     from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
-    from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ctrl_adapter_tpu.models.vae import VAEConfig
+    from ctrl_adapter_tpu.models.vae_temporal import AutoencoderKLTemporalDecoder
     from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
 
     dtype = jnp.bfloat16
@@ -83,7 +84,9 @@ def main():
         adapter_locations=("A", "B", "C", "D", "M"),
         add_temporal_resnet=True, add_temporal_transformer=True, dtype=dtype,
     )
-    vae = AutoencoderKL(config=VAEConfig(), dtype=dtype)
+    # SVD's real decode path is the temporal-decoder VAE (reference
+    # `svd_controlnet_adapter_pipeline.py:265-292`)
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig(), dtype=dtype)
     pipe = SVDControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
 
     # fabricate params (random weights: identical compute to released checkpoints)

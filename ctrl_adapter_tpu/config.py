@@ -70,6 +70,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # controlnet
     add("--skip_conv_in", type=bool_flag, default=False)
     add("--skip_time_emb", type=bool_flag, default=False)
+    add("--guess_mode", type=bool_flag, default=False,
+        help="logspace 0.1->1.0 residual ramp over the ControlNet projection "
+             "heads (reference `controlnet/controlnet.py:860-865`)")
     add("--fixed_controlnet_timestep", type=int, default=-1)
     add("--control_types", type=str, nargs="+", default=["depth"])
     add("--mixed_control_types_training", type=str, nargs="+", default=[])
@@ -116,6 +119,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         help="local dir with converted backbone (unet/vae/text encoder) params")
     add("--controlnet_model_paths", type=str, nargs="+", default=None,
         help="local dirs with converted SD-v1.5 ControlNet params, one per control type")
+    add("--controlnet_text_encoder_path", type=str, default=None,
+        help="local SD-v1.5 dir (tokenizer/ + text_encoder/, CLIP-L 768) for the "
+             "ControlNet prompt tower; the reference always loads SD-v1.5 here "
+             "(`model/ctrl_helper.py:24`) regardless of backbone. Required for "
+             "i2vgenxl/svd (their backbone dirs carry OpenCLIP-H / no text tower); "
+             "defaults to --pretrained_model_path for sdxl (also CLIP-L 768)")
     add("--adapter_resume_path", type=str, default=None)
     add("--adapter_resume_step", type=int, default=None)
     return parser
@@ -141,6 +150,9 @@ def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPars
     add("--output_fps", type=int, default=16)
     add("--skip_conv_in", type=bool_flag, default=False)
     add("--skip_time_emb", type=bool_flag, default=False)
+    add("--guess_mode", type=bool_flag, default=False,
+        help="logspace 0.1->1.0 residual ramp over the ControlNet projection "
+             "heads (reference `controlnet/controlnet.py:860-865`)")
     add("--sparse_frames", type=str, nargs="+", default=None)
     add("--inference_expert_masks", type=int, nargs="+", default=None)
     add("--extract_control_conditions", type=bool_flag, default=False)
@@ -149,6 +161,8 @@ def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPars
     # checkpoints (local paths in this zero-egress image)
     add("--pretrained_model_path", type=str, default=None)
     add("--controlnet_model_paths", type=str, nargs="+", default=None)
+    add("--controlnet_text_encoder_path", type=str, default=None,
+        help="SD-v1.5 dir for the ControlNet prompt tower (see train args)")
     add("--adapter_checkpoint_path", type=str, default=None,
         help="dir with adapter safetensors (HF release subfolder) or orbax dir")
     add("--router_checkpoint_path", type=str, default=None)

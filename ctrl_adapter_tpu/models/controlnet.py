@@ -210,10 +210,12 @@ class ControlNetModel(nn.Module):
         )
         n_res = len(down_block_res_samples)
         if guess_mode:
-            # logspace 0.1 -> 1.0 residual ramp (reference `:861-865`)
+            # logspace 0.1 -> 1.0 residual ramp (reference `:861-865`); computed
+            # host-side (static Python floats) so it folds into the jitted graph
+            import numpy as _np
+
             guess_scales = [
-                float(s) * 1.0 for s in
-                (10.0 ** jnp.linspace(-1.0, 0.0, n_res + 1)).tolist()
+                float(s) for s in 10.0 ** _np.linspace(-1.0, 0.0, n_res + 1)
             ]
         else:
             guess_scales = [1.0] * (n_res + 1)

@@ -53,7 +53,7 @@ class I2VGenXLControlNetAdapterPipeline:
     # --------------------------------------------------------------- sampling
     @partial(
         jax.jit,
-        static_argnums=(0, 9, 10, 11, 12, 13, 14, 17),
+        static_argnums=(0, 9, 10, 11, 12, 13, 14, 17, 18),
     )
     def _sample(
         self,
@@ -74,6 +74,7 @@ class I2VGenXLControlNetAdapterPipeline:
         conditioning_scale: jnp.ndarray,
         guidance_scale: jnp.ndarray,
         fixed_controlnet_timestep: int = -1,
+        guess_mode: bool = False,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         b, num_frames, h, w, c = latents.shape
@@ -93,9 +94,11 @@ class I2VGenXLControlNetAdapterPipeline:
         active_arr = jnp.asarray(active) if active else jnp.zeros((0,), jnp.int32)
 
         def router_weights(t):
+            # embedding router types consume the CLIP *image* embedding, positive
+            # CFG half (reference `i2vgen_xl_...py:982-988` image_embeddings[-1]);
             router_in = build_router_input(
                 self.router.router_type, jnp.broadcast_to(t, (1,)),
-                prompt_embeds[prompt_embeds.shape[0] // 2:],  # positive halves
+                image_embeddings[-1:],
             )
             dwf, mwf = self.router.apply(params["router"], router_in, sparse_mask=mask_arr)
             return dwf[:, active_arr], (mwf[active_arr] if mwf is not None else None)
@@ -144,7 +147,7 @@ class I2VGenXLControlNetAdapterPipeline:
                 downs, mid = self.controlnet.apply(
                     params[f"controlnet_{e}"], pooled, tb, cn_prompt_rep,
                     control_images[e], conditioning_scale=conditioning_scale,
-                    skip_conv_in=skip_conv_in,
+                    skip_conv_in=skip_conv_in, guess_mode=guess_mode,
                 )
                 per_down.append(downs)
                 per_mid.append(mid)
@@ -237,6 +240,7 @@ class I2VGenXLControlNetAdapterPipeline:
         sparse_frames: Optional[Sequence[int]] = None,
         inference_expert_masks: Optional[Sequence[bool]] = None,
         skip_conv_in: bool = False,
+        guess_mode: bool = False,
         fixed_controlnet_timestep: int = -1,
         vae_scaling_factor: float = 0.18215,
         control_latent_size: int = 64,
@@ -288,6 +292,11 @@ class I2VGenXLControlNetAdapterPipeline:
             jnp.asarray(controlnet_conditioning_scale, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32),
             int(fixed_controlnet_timestep),
+            # guess_mode: logspace residual ramp inside the ControlNet
+            # (`controlnet.py:860-865`). The reference I2VGen-XL pipeline accepts
+            # the kwarg but hard-disables it (`i2vgen_xl_...py:712`); the knob is
+            # live here.
+            bool(guess_mode),
         )
         result = (
             latents if output_type == "latent"
@@ -308,7 +317,7 @@ class I2VGenXLControlNetAdapterPipeline:
                     t = state.timesteps[i].astype(jnp.float32)
                     router_in = build_router_input(
                         self.router.router_type, jnp.broadcast_to(t, (1,)),
-                        prompt_embeds[prompt_embeds.shape[0] // 2:],
+                        image_embeddings[-1:],  # CLIP image emb (`:982-988`)
                     )
                 dw, mw = self.router.apply(
                     params["router"], router_in, sparse_mask=mask_arr

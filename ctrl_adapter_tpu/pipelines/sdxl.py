@@ -55,7 +55,7 @@ class SDXLControlNetAdapterPipeline:
         if self.scheduler is None:
             self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
 
-    @partial(jax.jit, static_argnums=(0, 8, 9, 12, 13, 14))
+    @partial(jax.jit, static_argnums=(0, 8, 9, 12, 13, 14, 16))
     def _sample(
         self,
         params: Dict[str, Any],
@@ -73,6 +73,7 @@ class SDXLControlNetAdapterPipeline:
         skip_time_emb: bool,
         control_latent_size: int = 64,
         guidance_rescale: jnp.ndarray = 0.0,
+        guess_mode: bool = False,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         added = {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
@@ -105,6 +106,7 @@ class SDXLControlNetAdapterPipeline:
                 params["controlnet"], pooled, tb, controlnet_prompt_embeds, control_image,
                 conditioning_scale=conditioning_scale,
                 skip_conv_in=skip_conv_in, skip_time_emb=skip_time_emb,
+                guess_mode=guess_mode,
             )
             adapted, _ = self.adapter.apply(
                 params["adapter"], downs, None,
@@ -150,6 +152,7 @@ class SDXLControlNetAdapterPipeline:
         control_guidance_end: float = 0.6,
         skip_conv_in: bool = False,
         skip_time_emb: bool = False,
+        guess_mode: bool = False,
         original_size: Optional[Tuple[int, int]] = None,
         vae_scaling_factor: float = 0.13025,
         latents: Optional[jnp.ndarray] = None,
@@ -178,6 +181,9 @@ class SDXLControlNetAdapterPipeline:
             jnp.asarray(guidance_scale, jnp.float32),
             skip_conv_in, skip_time_emb, control_latent_size,
             jnp.asarray(guidance_rescale, jnp.float32),
+            # guess_mode: logspace 0.1->1.0 residual ramp in the ControlNet heads
+            # (reference `sdxl_...py:1329`, `controlnet/controlnet.py:860-865`)
+            bool(guess_mode),
         )
         image = self._decode(params["vae"], latents, vae_scaling_factor)
         if output_type == "latent":

@@ -55,7 +55,7 @@ class SVDControlNetAdapterPipeline:
         if self.scheduler is None:
             self.scheduler = EulerDiscreteScheduler(SVD_EULER_CONFIG)
 
-    @partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12))
+    @partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 15))
     def _sample(
         self,
         params: Dict[str, Any],
@@ -72,6 +72,7 @@ class SVDControlNetAdapterPipeline:
         control_latent_size: int,
         conditioning_scale: jnp.ndarray,
         guidance: jnp.ndarray,  # (f,) per-frame linspace
+        guess_mode: bool = False,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         cn_timesteps = jnp.asarray(controlnet_timestep_remap(num_inference_steps))
@@ -107,6 +108,7 @@ class SVDControlNetAdapterPipeline:
             downs, mid = self.controlnet.apply(
                 params["controlnet"], pooled, tb, cn_prompt_rep, control_images,
                 conditioning_scale=conditioning_scale, skip_conv_in=skip_conv_in,
+                guess_mode=guess_mode,
             )
 
             if sparse_frames is not None:
@@ -201,6 +203,7 @@ class SVDControlNetAdapterPipeline:
         control_guidance_end: float = 0.8,
         sparse_frames: Optional[Sequence[int]] = None,
         skip_conv_in: bool = True,
+        guess_mode: bool = False,
         vae_scaling_factor: float = 0.18215,
         control_latent_size: int = 64,
         latents: Optional[jnp.ndarray] = None,
@@ -240,6 +243,9 @@ class SVDControlNetAdapterPipeline:
             skip_conv_in, control_latent_size,
             jnp.asarray(controlnet_conditioning_scale, jnp.float32),
             guidance,
+            # guess_mode logspace residual ramp (reference `svd_...py:690`,
+            # `controlnet/controlnet.py:860-865`)
+            bool(guess_mode),
         )
         if output_type == "latent":
             return latents

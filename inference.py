@@ -88,10 +88,21 @@ def build_modules(args, dtype=jnp.bfloat16):
         dtype=dtype,
     )
     cnet = ControlNetModel(dtype=dtype)
-    vae = AutoencoderKL(
-        config=VAEConfig(scaling_factor=0.13025 if args.model_name == "sdxl" else 0.18215),
-        dtype=dtype,
-    )
+    if args.model_name == "svd":
+        # SVD decodes with the temporal-decoder VAE (reference
+        # `svd/pipelines/svd_controlnet_adapter_pipeline.py:265-292`); a converted
+        # SVD checkpoint only restores into this class (no post_quant_conv,
+        # spatio-temporal decoder blocks + time_conv_out).
+        from ctrl_adapter_tpu.models.vae_temporal import AutoencoderKLTemporalDecoder
+
+        vae = AutoencoderKLTemporalDecoder(
+            config=VAEConfig(scaling_factor=0.18215), dtype=dtype)
+    else:
+        vae = AutoencoderKL(
+            config=VAEConfig(
+                scaling_factor=0.13025 if args.model_name == "sdxl" else 0.18215),
+            dtype=dtype,
+        )
     if args.model_name == "sdxl":
         unet = UNet2DConditionModel(config=SDXL_CONFIG, dtype=dtype)
         pipe = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
@@ -243,8 +254,13 @@ def main():
             CLIPImageEncoder, CLIPTextEncoder, ControlNetTextEncoder,
         )
 
+        from ctrl_adapter_tpu.models.text_encoders import build_controlnet_text_encoder
+
         encoders = {
-            "controlnet": ControlNetTextEncoder(args.pretrained_model_path),
+            "controlnet": build_controlnet_text_encoder(
+                args.pretrained_model_path,
+                getattr(args, "controlnet_text_encoder_path", None),
+                args.model_name),
         }
         if args.model_name == "sdxl":
             # dual-encoder SDXL conditioning: penultimate hiddens of CLIP-L and
@@ -254,7 +270,11 @@ def main():
                 args.pretrained_model_path, subfolder="text_encoder_2",
                 with_projection=True)
         else:
-            encoders["text"] = CLIPTextEncoder(args.pretrained_model_path)
+            # the reference I2VGen-XL pipeline encodes prompts with clip_skip=1
+            # (`i2vgen_xl_..._pipeline.py:568`)
+            encoders["text"] = CLIPTextEncoder(
+                args.pretrained_model_path,
+                clip_skip=1 if args.model_name == "i2vgenxl" else 0)
         if args.model_name in ("i2vgenxl", "svd"):
             encoders["image"] = CLIPImageEncoder(args.pretrained_model_path)
 
@@ -348,6 +368,7 @@ def main():
                 controlnet_conditioning_scale=args.controlnet_conditioning_scale,
                 control_guidance_start=args.control_guidance_start,
                 control_guidance_end=args.control_guidance_end,
+                guess_mode=args.guess_mode,
                 control_latent_size=ctrl_latent,
             )
             video = np.asarray(video)[None]  # (1, 1, h, w, 3)
@@ -367,6 +388,7 @@ def main():
                 sparse_frames=args.sparse_frames,
                 inference_expert_masks=args.inference_expert_masks,
                 skip_conv_in=args.skip_conv_in,
+                guess_mode=args.guess_mode,
                 control_latent_size=ctrl_latent,
             ))
         else:
@@ -380,6 +402,7 @@ def main():
                 num_inference_steps=args.num_inference_steps,
                 sparse_frames=args.sparse_frames,
                 skip_conv_in=args.skip_conv_in,
+                guess_mode=args.guess_mode,
                 control_latent_size=ctrl_latent,
             ))
         dt = time.time() - t0

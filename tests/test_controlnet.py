@@ -86,3 +86,17 @@ def test_skip_time_emb_zeroes_time_path(tiny_controlnet):
                        skip_time_emb=True)
     for a, b in zip(out1[0], out2[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_guess_mode_logspace_ramp(tiny_controlnet):
+    """guess_mode scales residual k by 10**linspace(-1,0,13)[k] (reference
+    `controlnet/controlnet.py:860-865`): early residuals shrink 10x, mid x1."""
+    model, params, (sample, t, ehs, cond) = tiny_controlnet
+    downs, mid = eager_apply(model, params, sample, t, ehs, cond)
+    downs_g, mid_g = eager_apply(model, params, sample, t, ehs, cond, guess_mode=True)
+    scales = 10.0 ** np.linspace(-1.0, 0.0, 13)
+    for k, (a, g) in enumerate(zip(downs, downs_g)):
+        np.testing.assert_allclose(
+            np.asarray(a) * scales[k], np.asarray(g), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mid) * scales[-1], np.asarray(mid_g),
+                               rtol=1e-5, atol=1e-6)
