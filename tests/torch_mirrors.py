@@ -1,0 +1,666 @@
+"""Thin-config torch oracles with diffusers semantics for full-tower parity tests.
+
+These mirror the *diffusers/torch* math of the frozen towers the reference uses
+(`controlnet/controlnet.py:662-881`, stock ``UNet2DConditionModel``,
+``AutoencoderKL``) with state-dict key names identical to the released
+checkpoints, so weights travel through the production converter
+(`ctrl_adapter_tpu/convert/torch_to_jax.py`) exactly as real checkpoints would.
+A transposed kernel, wrong eps, or swapped norm order in the flax stack shows up
+as a parity failure here.
+
+Everything is hand-rolled (diffusers itself is not installed in this image) and
+kept at diffusers' op ordering; module attribute names define the state-dict
+keys and therefore must match diffusers ("net.0.proj", "to_out.0", ...).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# --------------------------------------------------------------------- embeddings
+def timestep_embedding(
+    timesteps: torch.Tensor,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> torch.Tensor:
+    half = dim // 2
+    exponent = -math.log(max_period) * torch.arange(half, dtype=torch.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.float()[:, None] * torch.exp(exponent)[None, :]
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+    if dim % 2 == 1:
+        emb = F.pad(emb, (0, 1))
+    return emb
+
+
+class TimestepEmbeddingT(nn.Module):
+    def __init__(self, in_dim: int, time_embed_dim: int):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_dim, time_embed_dim)
+        self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+
+    def forward(self, x):
+        return self.linear_2(F.silu(self.linear_1(x)))
+
+
+# ---------------------------------------------------------------------- attention
+class AttentionT(nn.Module):
+    def __init__(self, query_dim, heads, dim_head, cross_dim=None):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads, self.dim_head = heads, dim_head
+        self.to_q = nn.Linear(query_dim, inner, bias=False)
+        self.to_k = nn.Linear(cross_dim or query_dim, inner, bias=False)
+        self.to_v = nn.Linear(cross_dim or query_dim, inner, bias=False)
+        self.to_out = nn.ModuleList([nn.Linear(inner, query_dim), nn.Dropout(0.0)])
+
+    def forward(self, x, context=None):
+        ctx = x if context is None else context
+        b, tq, _ = x.shape
+        q = self.to_q(x).view(b, tq, self.heads, self.dim_head).transpose(1, 2)
+        k = self.to_k(ctx).view(b, ctx.shape[1], self.heads, self.dim_head).transpose(1, 2)
+        v = self.to_v(ctx).view(b, ctx.shape[1], self.heads, self.dim_head).transpose(1, 2)
+        out = F.scaled_dot_product_attention(q, k, v)
+        out = out.transpose(1, 2).reshape(b, tq, self.heads * self.dim_head)
+        return self.to_out[0](out)
+
+
+class GEGLUT(nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2)
+
+    def forward(self, x):
+        x, gate = self.proj(x).chunk(2, dim=-1)
+        return x * F.gelu(gate)
+
+
+class FeedForwardT(nn.Module):
+    def __init__(self, dim, dim_out=None, mult=4):
+        super().__init__()
+        inner = dim * mult
+        self.net = nn.ModuleList(
+            [GEGLUT(dim, inner), nn.Dropout(0.0), nn.Linear(inner, dim_out or dim)]
+        )
+
+    def forward(self, x):
+        for layer in self.net:
+            x = layer(x)
+        return x
+
+
+class BasicTransformerBlockT(nn.Module):
+    def __init__(self, dim, heads, dim_head, cross_dim=None):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn1 = AttentionT(dim, heads, dim_head)
+        self.has_cross = cross_dim is not None
+        if self.has_cross:
+            self.norm2 = nn.LayerNorm(dim)
+            self.attn2 = AttentionT(dim, heads, dim_head, cross_dim)
+        self.norm3 = nn.LayerNorm(dim)
+        self.ff = FeedForwardT(dim)
+
+    def forward(self, x, context=None):
+        x = self.attn1(self.norm1(x)) + x
+        if self.has_cross:
+            x = self.attn2(self.norm2(x), context) + x
+        return self.ff(self.norm3(x)) + x
+
+
+class Transformer2DModelT(nn.Module):
+    def __init__(self, heads, dim_head, in_channels, num_layers=1, cross_dim=None,
+                 use_linear_projection=False, norm_groups=32):
+        super().__init__()
+        inner = heads * dim_head
+        self.use_linear = use_linear_projection
+        self.norm = nn.GroupNorm(norm_groups, in_channels, eps=1e-6)
+        if use_linear_projection:
+            self.proj_in = nn.Linear(in_channels, inner)
+            self.proj_out = nn.Linear(inner, in_channels)
+        else:
+            self.proj_in = nn.Conv2d(in_channels, inner, 1)
+            self.proj_out = nn.Conv2d(inner, in_channels, 1)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlockT(inner, heads, dim_head, cross_dim)
+             for _ in range(num_layers)]
+        )
+
+    def forward(self, x, context=None):
+        b, c, h, w = x.shape
+        residual = x
+        x = self.norm(x)
+        if self.use_linear:
+            x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+            x = self.proj_in(x)
+        else:
+            x = self.proj_in(x)
+            inner = x.shape[1]
+            x = x.permute(0, 2, 3, 1).reshape(b, h * w, inner)
+        for block in self.transformer_blocks:
+            x = block(x, context)
+        if self.use_linear:
+            x = self.proj_out(x)
+            x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        else:
+            inner = x.shape[-1]
+            x = x.reshape(b, h, w, inner).permute(0, 3, 1, 2)
+            x = self.proj_out(x)
+        return x + residual
+
+
+# ------------------------------------------------------------------------ resnets
+class ResnetBlock2DT(nn.Module):
+    def __init__(self, cin, cout=None, temb=None, groups=32, eps=1e-5,
+                 output_scale_factor=1.0, time_embedding_norm="default"):
+        super().__init__()
+        cout = cout or cin
+        self.output_scale_factor = output_scale_factor
+        self.time_embedding_norm = time_embedding_norm
+        self.norm1 = nn.GroupNorm(groups, cin, eps=eps)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        if temb is not None:
+            proj = 2 * cout if time_embedding_norm == "scale_shift" else cout
+            self.time_emb_proj = nn.Linear(temb, proj)
+        else:
+            self.time_emb_proj = None
+        self.norm2 = nn.GroupNorm(groups, cout, eps=eps)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x, temb=None):
+        h = self.conv1(F.silu(self.norm1(x)))
+        if self.time_emb_proj is not None and temb is not None:
+            t = self.time_emb_proj(F.silu(temb))[:, :, None, None]
+            if self.time_embedding_norm == "scale_shift":
+                scale, shift = t.chunk(2, dim=1)
+                h = self.norm2(h) * (1 + scale) + shift
+                h = F.silu(h)
+            else:
+                h = F.silu(self.norm2(h + t))
+        else:
+            h = F.silu(self.norm2(h))
+        h = self.conv2(h)
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return (x + h) / self.output_scale_factor
+
+
+class Downsample2DT(nn.Module):
+    def __init__(self, channels, padding=1):
+        super().__init__()
+        self.padding = padding
+        self.conv = nn.Conv2d(channels, channels, 3, stride=2, padding=padding)
+
+    def forward(self, x):
+        if self.padding == 0:
+            x = F.pad(x, (0, 1, 0, 1))
+        return self.conv(x)
+
+
+class Upsample2DT(nn.Module):
+    def __init__(self, channels):
+        super().__init__()
+        self.conv = nn.Conv2d(channels, channels, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+# ------------------------------------------------------------------- UNet blocks
+class DownBlock2DT(nn.Module):
+    def __init__(self, cin, cout, temb, num_layers=2, groups=32, eps=1e-5,
+                 add_downsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, temb, groups, eps)
+             for i in range(num_layers)]
+        )
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None
+        )
+
+    def forward(self, x, temb):
+        states = ()
+        for resnet in self.resnets:
+            x = resnet(x, temb)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class CrossAttnDownBlock2DT(nn.Module):
+    def __init__(self, cin, cout, temb, heads, cross_dim, num_layers=2,
+                 transformer_layers=1, groups=32, eps=1e-5, add_downsample=True,
+                 use_linear_projection=False):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, temb, groups, eps)
+             for i in range(num_layers)]
+        )
+        self.attentions = nn.ModuleList(
+            [Transformer2DModelT(heads, cout // heads, cout, transformer_layers,
+                                 cross_dim, use_linear_projection)
+             for _ in range(num_layers)]
+        )
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None
+        )
+
+    def forward(self, x, temb, context):
+        states = ()
+        for resnet, attn in zip(self.resnets, self.attentions):
+            x = resnet(x, temb)
+            x = attn(x, context)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class UNetMidBlock2DCrossAttnT(nn.Module):
+    def __init__(self, channels, temb, heads, cross_dim, transformer_layers=1,
+                 groups=32, eps=1e-5, use_linear_projection=False,
+                 output_scale_factor=1.0):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(channels, channels, temb, groups, eps, output_scale_factor),
+             ResnetBlock2DT(channels, channels, temb, groups, eps, output_scale_factor)]
+        )
+        self.attentions = nn.ModuleList(
+            [Transformer2DModelT(heads, channels // heads, channels,
+                                 transformer_layers, cross_dim, use_linear_projection)]
+        )
+
+    def forward(self, x, temb, context):
+        x = self.resnets[0](x, temb)
+        x = self.attentions[0](x, context)
+        return self.resnets[1](x, temb)
+
+
+class UpBlock2DT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, num_layers=3, groups=32, eps=1e-5,
+                 add_upsample=True):
+        super().__init__()
+        resnets = []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(ResnetBlock2DT(rin + skip, cout, temb, groups, eps))
+        self.resnets = nn.ModuleList(resnets)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb):
+        for resnet in self.resnets:
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = resnet(x, temb)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class CrossAttnUpBlock2DT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, heads, cross_dim, num_layers=3,
+                 transformer_layers=1, groups=32, eps=1e-5, add_upsample=True,
+                 use_linear_projection=False):
+        super().__init__()
+        resnets, attentions = [], []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(ResnetBlock2DT(rin + skip, cout, temb, groups, eps))
+            attentions.append(
+                Transformer2DModelT(heads, cout // heads, cout, transformer_layers,
+                                    cross_dim, use_linear_projection))
+        self.resnets = nn.ModuleList(resnets)
+        self.attentions = nn.ModuleList(attentions)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb, context):
+        for resnet, attn in zip(self.resnets, self.attentions):
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = resnet(x, temb)
+            x = attn(x, context)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+# --------------------------------------------------------------- ControlNet tower
+class ControlNetCondEmbeddingT(nn.Module):
+    def __init__(self, embed_channels, block_out=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, block_out[0], 3, padding=1)
+        blocks = []
+        for i in range(len(block_out) - 1):
+            blocks.append(nn.Conv2d(block_out[i], block_out[i], 3, padding=1))
+            blocks.append(nn.Conv2d(block_out[i], block_out[i + 1], 3, padding=1, stride=2))
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = nn.Conv2d(block_out[-1], embed_channels, 3, padding=1)
+
+    def forward(self, x):
+        x = F.silu(self.conv_in(x))
+        for block in self.blocks:
+            x = F.silu(block(x))
+        return self.conv_out(x)
+
+
+class ControlNetT(nn.Module):
+    """Reference-semantics ControlNet (`controlnet/controlnet.py:662-881`) at an
+    arbitrary (thin) config. Residual contract: 12 down + 1 mid zero-conv heads."""
+
+    def __init__(self, block_out=(32, 64, 96, 96), heads=(4, 4, 4, 4), cross_dim=24,
+                 cond_block_out=(8, 8, 16, 16), layers_per_block=2, groups=32,
+                 eps=1e-5,
+                 down_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D", "DownBlock2D")):
+        super().__init__()
+        time_dim = block_out[0] * 4
+        self.block_out = block_out
+        self.conv_in = nn.Conv2d(4, block_out[0], 3, padding=1)
+        self.time_embedding = TimestepEmbeddingT(block_out[0], time_dim)
+        self.controlnet_cond_embedding = ControlNetCondEmbeddingT(block_out[0], cond_block_out)
+
+        down_blocks, zero_convs = [], [nn.Conv2d(block_out[0], block_out[0], 1)]
+        out_ch = block_out[0]
+        for i, btype in enumerate(down_types):
+            in_ch, out_ch = out_ch, block_out[i]
+            final = i == len(block_out) - 1
+            if btype == "CrossAttnDownBlock2D":
+                down_blocks.append(CrossAttnDownBlock2DT(
+                    in_ch, out_ch, time_dim, heads[i], cross_dim, layers_per_block,
+                    1, groups, eps, add_downsample=not final))
+            else:
+                down_blocks.append(DownBlock2DT(
+                    in_ch, out_ch, time_dim, layers_per_block, groups, eps,
+                    add_downsample=not final))
+            for _ in range(layers_per_block):
+                zero_convs.append(nn.Conv2d(out_ch, out_ch, 1))
+            if not final:
+                zero_convs.append(nn.Conv2d(out_ch, out_ch, 1))
+        self.down_blocks = nn.ModuleList(down_blocks)
+        self.controlnet_down_blocks = nn.ModuleList(zero_convs)
+        self.mid_block = UNetMidBlock2DCrossAttnT(
+            block_out[-1], time_dim, heads[-1], cross_dim, 1, groups, eps)
+        self.controlnet_mid_block = nn.Conv2d(block_out[-1], block_out[-1], 1)
+
+    def forward(self, sample, timesteps, context, cond, skip_conv_in=False,
+                skip_time_emb=False):
+        t_emb = timestep_embedding(timesteps, self.block_out[0])
+        emb = self.time_embedding(t_emb)
+        if skip_time_emb:
+            emb = torch.zeros_like(emb)
+        sample = self.conv_in(sample)
+        if skip_conv_in:
+            sample = torch.zeros_like(sample)
+        sample = sample + self.controlnet_cond_embedding(cond)
+        res_samples = (sample,)
+        for block in self.down_blocks:
+            if isinstance(block, CrossAttnDownBlock2DT):
+                sample, res = block(sample, emb, context)
+            else:
+                sample, res = block(sample, emb)
+            res_samples += res
+        sample = self.mid_block(sample, emb, context)
+        downs = [zc(r) for zc, r in zip(self.controlnet_down_blocks, res_samples)]
+        mid = self.controlnet_mid_block(sample)
+        return downs, mid
+
+
+# ------------------------------------------------------------ UNet2DConditionModel
+class UNet2DConditionModelT(nn.Module):
+    """Stock diffusers UNet2DConditionModel semantics (SD/SDXL layouts) at a thin
+    config, incl. the SDXL `text_time` addition embedding and the ControlNet
+    residual-injection branch (`train.py:1384-1391` consumption side)."""
+
+    def __init__(self, block_out=(32, 64, 96), heads=(4, 4, 4), cross_dim=24,
+                 layers_per_block=2, transformer_layers=(1, 1, 1), groups=32,
+                 eps=1e-5, use_linear_projection=False,
+                 down_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+                 up_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+                 addition_embed_type=None, addition_time_embed_dim=8,
+                 projection_class_embeddings_input_dim=None):
+        super().__init__()
+        time_dim = block_out[0] * 4
+        self.block_out = block_out
+        self.addition_embed_type = addition_embed_type
+        self.addition_time_embed_dim = addition_time_embed_dim
+        self.conv_in = nn.Conv2d(4, block_out[0], 3, padding=1)
+        self.time_embedding = TimestepEmbeddingT(block_out[0], time_dim)
+        if addition_embed_type == "text_time":
+            self.add_embedding = TimestepEmbeddingT(
+                projection_class_embeddings_input_dim, time_dim)
+
+        down_blocks = []
+        out_ch = block_out[0]
+        for i, btype in enumerate(down_types):
+            in_ch, out_ch = out_ch, block_out[i]
+            final = i == len(block_out) - 1
+            if btype == "CrossAttnDownBlock2D":
+                down_blocks.append(CrossAttnDownBlock2DT(
+                    in_ch, out_ch, time_dim, heads[i], cross_dim, layers_per_block,
+                    transformer_layers[i], groups, eps, not final,
+                    use_linear_projection))
+            else:
+                down_blocks.append(DownBlock2DT(
+                    in_ch, out_ch, time_dim, layers_per_block, groups, eps, not final))
+        self.down_blocks = nn.ModuleList(down_blocks)
+        self.mid_block = UNetMidBlock2DCrossAttnT(
+            block_out[-1], time_dim, heads[-1], cross_dim, transformer_layers[-1],
+            groups, eps, use_linear_projection)
+
+        up_blocks = []
+        rev = list(reversed(block_out))
+        out_ch = rev[0]
+        for i, btype in enumerate(up_types):
+            prev_out, out_ch = out_ch, rev[i]
+            in_ch = rev[min(i + 1, len(block_out) - 1)]
+            final = i == len(block_out) - 1
+            rev_idx = len(block_out) - 1 - i
+            if btype == "CrossAttnUpBlock2D":
+                up_blocks.append(CrossAttnUpBlock2DT(
+                    in_ch, prev_out, out_ch, time_dim, heads[rev_idx], cross_dim,
+                    layers_per_block + 1, transformer_layers[rev_idx], groups, eps,
+                    not final, use_linear_projection))
+            else:
+                up_blocks.append(UpBlock2DT(
+                    in_ch, prev_out, out_ch, time_dim, layers_per_block + 1, groups,
+                    eps, not final))
+        self.up_blocks = nn.ModuleList(up_blocks)
+        self.conv_norm_out = nn.GroupNorm(groups, block_out[0], eps=eps)
+        self.conv_out = nn.Conv2d(block_out[0], 4, 3, padding=1)
+
+    def forward(self, sample, timesteps, context, added_cond=None,
+                down_block_additional_residuals=None,
+                mid_block_additional_residual=None):
+        emb = self.time_embedding(timestep_embedding(timesteps, self.block_out[0]))
+        if self.addition_embed_type == "text_time":
+            text_embeds, time_ids = added_cond["text_embeds"], added_cond["time_ids"]
+            time_embeds = timestep_embedding(
+                time_ids.reshape(-1), self.addition_time_embed_dim)
+            time_embeds = time_embeds.reshape(text_embeds.shape[0], -1)
+            emb = emb + self.add_embedding(
+                torch.cat([text_embeds, time_embeds], dim=-1))
+        sample = self.conv_in(sample)
+        skips = (sample,)
+        for block in self.down_blocks:
+            if isinstance(block, CrossAttnDownBlock2DT):
+                sample, res = block(sample, emb, context)
+            else:
+                sample, res = block(sample, emb)
+            skips += res
+        if down_block_additional_residuals is not None:
+            skips = tuple(s + r for s, r in zip(skips, down_block_additional_residuals))
+        sample = self.mid_block(sample, emb, context)
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual
+        n_layers = len(self.down_blocks[0].resnets) + 1
+        for block in self.up_blocks:
+            res_samples, skips = skips[-n_layers:], skips[:-n_layers]
+            if isinstance(block, CrossAttnUpBlock2DT):
+                sample = block(sample, res_samples, emb, context)
+            else:
+                sample = block(sample, res_samples, emb)
+        return self.conv_out(F.silu(self.conv_norm_out(sample)))
+
+
+# -------------------------------------------------------------------------- VAE
+class VAEAttentionT(nn.Module):
+    def __init__(self, channels, groups=32):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, channels, eps=1e-6)
+        self.to_q = nn.Linear(channels, channels)
+        self.to_k = nn.Linear(channels, channels)
+        self.to_v = nn.Linear(channels, channels)
+        self.to_out = nn.ModuleList([nn.Linear(channels, channels), nn.Dropout(0.0)])
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        residual = x
+        hidden = self.group_norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        q = self.to_q(hidden)[:, None]
+        k = self.to_k(hidden)[:, None]
+        v = self.to_v(hidden)[:, None]
+        out = F.scaled_dot_product_attention(q, k, v)[:, 0]
+        out = self.to_out[0](out)
+        return out.reshape(b, h, w, c).permute(0, 3, 1, 2) + residual
+
+
+class VAEMidBlockT(nn.Module):
+    def __init__(self, channels, groups=32):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(channels, channels, None, groups, 1e-6),
+             ResnetBlock2DT(channels, channels, None, groups, 1e-6)]
+        )
+        self.attentions = nn.ModuleList([VAEAttentionT(channels, groups)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class _DownEncoderBlockT(nn.Module):
+    def __init__(self, cin, cout, num_layers, groups, add_downsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, None, groups, 1e-6)
+             for i in range(num_layers)]
+        )
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout, padding=0)]) if add_downsample else None
+        )
+
+    def forward(self, x):
+        for resnet in self.resnets:
+            x = resnet(x)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+        return x
+
+
+class _UpDecoderBlockT(nn.Module):
+    def __init__(self, cin, cout, num_layers, groups, add_upsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, None, groups, 1e-6)
+             for i in range(num_layers)]
+        )
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x):
+        for resnet in self.resnets:
+            x = resnet(x)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class EncoderT(nn.Module):
+    def __init__(self, block_out=(16, 16, 16, 16), layers_per_block=2, groups=8,
+                 latent_channels=4):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, block_out[0], 3, padding=1)
+        blocks, out_ch = [], block_out[0]
+        for i, ch in enumerate(block_out):
+            in_ch, out_ch = out_ch, ch
+            blocks.append(_DownEncoderBlockT(
+                in_ch, out_ch, layers_per_block, groups, i != len(block_out) - 1))
+        self.down_blocks = nn.ModuleList(blocks)
+        self.mid_block = VAEMidBlockT(block_out[-1], groups)
+        self.conv_norm_out = nn.GroupNorm(groups, block_out[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(block_out[-1], 2 * latent_channels, 3, padding=1)
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for block in self.down_blocks:
+            x = block(x)
+        x = self.mid_block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class DecoderT(nn.Module):
+    def __init__(self, block_out=(16, 16, 16, 16), layers_per_block=2, groups=8,
+                 latent_channels=4):
+        super().__init__()
+        rev = list(reversed(block_out))
+        self.conv_in = nn.Conv2d(latent_channels, rev[0], 3, padding=1)
+        self.mid_block = VAEMidBlockT(rev[0], groups)
+        blocks, out_ch = [], rev[0]
+        for i, ch in enumerate(rev):
+            in_ch, out_ch = out_ch, ch
+            blocks.append(_UpDecoderBlockT(
+                in_ch, out_ch, layers_per_block + 1, groups, i != len(rev) - 1))
+        self.up_blocks = nn.ModuleList(blocks)
+        self.conv_norm_out = nn.GroupNorm(groups, rev[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(rev[-1], 3, 3, padding=1)
+
+    def forward(self, z):
+        x = self.conv_in(z)
+        x = self.mid_block(x)
+        for block in self.up_blocks:
+            x = block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class AutoencoderKLT(nn.Module):
+    def __init__(self, block_out=(16, 16, 16, 16), layers_per_block=2, groups=8,
+                 latent_channels=4):
+        super().__init__()
+        self.encoder = EncoderT(block_out, layers_per_block, groups, latent_channels)
+        self.decoder = DecoderT(block_out, layers_per_block, groups, latent_channels)
+        self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+        self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+
+    def encode_moments(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = moments.chunk(2, dim=1)
+        return mean, torch.clamp(logvar, -30.0, 20.0)
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+
+def to_jax_params(module: nn.Module) -> dict:
+    """state_dict -> flax param tree through the production converter."""
+    from ctrl_adapter_tpu.convert.torch_to_jax import convert_state_dict
+
+    return {"params": convert_state_dict(
+        {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    )}
