@@ -37,6 +37,37 @@ respect_env_platforms()  # explicit JAX_PLATFORMS (e.g. cpu smoke) wins over the
 TORCH_A100_REFERENCE_FPS_ESTIMATE = 0.75  # documented estimate, see module docstring
 
 
+def kernel_numerics_selfcheck():
+    """Assert the Pallas kernels agree with their XLA fallbacks ON THIS CHIP.
+
+    Interpret-mode tests cannot catch Mosaic miscompiles/precision hazards: in
+    round 1 the fused GroupNorm kernel's stat matmuls ran at default MXU
+    precision (bf16 rounding of fp32 sums), corrupting every GroupNorm by ~3e-2
+    and NaN-ing near-constant groups — invisible to the CPU suite. This check
+    runs the real kernels on the real chip before any timing.
+    """
+    import numpy as np
+
+    from ctrl_adapter_tpu.ops.group_norm import _xla_group_norm_silu, group_norm_silu
+
+    rng = np.random.default_rng(0)
+    for shape, groups in (((2, 64, 64, 320), 32), ((2, 8, 8, 1280), 32)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32) * 0.02
+        got = np.asarray(jax.jit(
+            lambda a, s, b, g=groups: group_norm_silu(a, s, b, g, 1e-6, True)
+        )(x, scale, bias))
+        want = np.asarray(jax.jit(
+            lambda a, s, b, g=groups: _xla_group_norm_silu(a, s, b, g, 1e-6, True)
+        )(x, scale, bias))
+        err = np.abs(got - want).max()
+        assert np.isfinite(got).all() and err < 1e-4, (
+            f"fused GroupNorm diverges from fallback on this chip: "
+            f"shape={shape} maxdiff={err:.3e}")
+    print("# kernel numerics self-check passed", file=sys.stderr)
+
+
 def fabricate(module, *args, seed=0, scale=0.02, dtype=jnp.bfloat16, **kwargs):
     """Random params stored in bf16 — fp32 storage of the full SVD stack (~9.5GB)
     plus per-step bf16 conversion temps OOMs the 16GB chip."""
@@ -64,6 +95,9 @@ def main():
 
     if args.quick:
         args.frames, args.steps, args.height, args.width = 4, 5, 128, 128
+
+    if jax.default_backend() == "tpu":
+        kernel_numerics_selfcheck()
 
     from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
     from ctrl_adapter_tpu.models.controlnet import ControlNetModel

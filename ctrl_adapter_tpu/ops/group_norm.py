@@ -62,7 +62,8 @@ def _xla_group_norm_silu(
     xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
     mean = xf.mean(axis=(1, 3), keepdims=True)
     var = (xf * xf).mean(axis=(1, 3), keepdims=True) - mean * mean
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    # E[x^2] - E[x]^2 can go epsilon-negative in fp32 for near-constant groups
+    y = (xf - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     y = y.reshape(n, -1, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -103,17 +104,26 @@ def _kernel(
         0, n_chunks, stat_body,
         (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32)),
     )
-    g_sum = jnp.dot(ch_sum, m, preferred_element_type=jnp.float32)  # (1, G)
-    g_sq = jnp.dot(ch_sq, m, preferred_element_type=jnp.float32)
+    # HIGHEST precision is load-bearing: the MXU's default matmul precision
+    # rounds fp32 operands to bf16 (preferred_element_type only sets the OUTPUT
+    # dtype), which corrupts the channel sums by ~1e-3 relative — and when the
+    # true group variance is tiny, the rounded E[x^2] - E[x]^2 goes negative
+    # beyond eps and rsqrt returns NaN (measured on v5e; maxdiff 3e-2 on UNet
+    # widths at default precision, exact at HIGHEST).
+    hi = jax.lax.Precision.HIGHEST
+    g_sum = jnp.dot(ch_sum, m, preferred_element_type=jnp.float32, precision=hi)
+    g_sq = jnp.dot(ch_sq, m, preferred_element_type=jnp.float32, precision=hi)
     g_mean = g_sum / n_per_group
     g_var = g_sq / n_per_group - g_mean * g_mean
-    g_rstd = jax.lax.rsqrt(g_var + eps)
+    g_rstd = jax.lax.rsqrt(jnp.maximum(g_var, 0.0) + eps)
     # broadcast group stats back to channels: (1, G) · (C, G)ᵀ -> (1, C)
     mean_c = jax.lax.dot_general(
-        g_mean, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        g_mean, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi,
     )
     rstd_c = jax.lax.dot_general(
-        g_rstd, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        g_rstd, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=hi,
     )
     gamma = scale_ref[:].astype(jnp.float32)
     beta = bias_ref[:].astype(jnp.float32)
