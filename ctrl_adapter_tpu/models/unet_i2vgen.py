@@ -46,6 +46,24 @@ class I2VGenXLUNetConfig:
     attention_head_dim: int = 64  # heads per block = channels // this
 
 
+class _GELUProj(nn.Module):
+    """diffusers ``GELU`` activation module: Linear ``proj`` then exact gelu.
+    Named submodule so checkpoint key ``ff.net.0.proj`` converts to
+    ``ff/net_0/proj`` and loads mechanically."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        x = nn.Dense(self.features, name="proj", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
 class _GELUFeedForward(nn.Module):
     """FeedForward with plain GELU activation (torch layout net.0.proj, net.2)."""
 
@@ -56,11 +74,8 @@ class _GELUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import jax
-
-        x = nn.Dense(self.inner_dim, name="net_0_proj", dtype=self.dtype,
-                     param_dtype=self.param_dtype)(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _GELUProj(self.inner_dim, name="net_0", dtype=self.dtype,
+                      param_dtype=self.param_dtype)(x)
         return nn.Dense(self.dim_out, name="net_2", dtype=self.dtype,
                         param_dtype=self.param_dtype)(x)
 

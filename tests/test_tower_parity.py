@@ -188,3 +188,156 @@ def test_vae_encode_decode_parity():
     got_img = model.apply(params, jnp.asarray(want_mean.numpy().transpose(0, 2, 3, 1)),
                           method="decode")
     np.testing.assert_allclose(nchw(got_img), want_img.numpy(), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_basic_transformer_block_parity():
+    from ctrl_adapter_tpu.nn.attention import BasicTransformerBlock
+
+    torch.manual_seed(6)
+    from .torch_mirrors import BasicTransformerBlockT
+
+    oracle = BasicTransformerBlockT(32, 4, 8, cross_dim=24).eval()
+    x = torch.randn(2, 10, 32)
+    ctx = torch.randn(2, 7, 24)
+    with torch.no_grad():
+        want = oracle(x, ctx)
+    block = BasicTransformerBlock(dim=32, num_attention_heads=4, attention_head_dim=8,
+                                  cross_attention_dim=24)
+    got = block.apply(to_jax_params(oracle), jnp.asarray(x.numpy()),
+                      encoder_hidden_states=jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.slow
+def test_temporal_basic_transformer_block_parity():
+    from ctrl_adapter_tpu.nn.attention import TemporalBasicTransformerBlock
+
+    torch.manual_seed(7)
+    from .torch_mirrors import TemporalBasicTransformerBlockT
+
+    oracle = TemporalBasicTransformerBlockT(32, 32, 4, 8, cross_dim=24).eval()
+    x = torch.randn(4, 9, 32)  # (b*f, seq, c), f=2
+    ctx = torch.randn(2 * 9, 1, 24)  # time context per (b*seq)
+    with torch.no_grad():
+        want = oracle(x, 2, ctx)
+    block = TemporalBasicTransformerBlock(
+        dim=32, time_mix_inner_dim=32, num_attention_heads=4, attention_head_dim=8,
+        cross_attention_dim=24)
+    got = block.apply(to_jax_params(oracle), jnp.asarray(x.numpy()), 2,
+                      encoder_hidden_states=jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.slow
+def test_svd_unet_full_forward_parity():
+    """SVD UNet (spatio-temporal blocks, AlphaBlender mixing, added-time-ids
+    embedding, residual injection) vs the torch oracle."""
+    from ctrl_adapter_tpu.models.unet_svd import (
+        SVDUNetConfig, UNetSpatioTemporalConditionModel,
+    )
+    from .torch_mirrors import UNetSpatioTemporalConditionModelT
+
+    torch.manual_seed(8)
+    b, f = 1, 2
+    oracle = UNetSpatioTemporalConditionModelT().eval()
+    sample = torch.randn(b, f, 8, 8, 8)  # (b, f, c=8, h, w)
+    t = torch.tensor([0.7])
+    context = torch.randn(b, 1, 24)
+    added = torch.tensor([[6.0, 127.0, 0.02]])
+    skip_shapes = [(b * f, 32, 8, 8)] * 3 + [(b * f, 32, 4, 4)] \
+        + [(b * f, 64, 4, 4)] * 2 + [(b * f, 64, 2, 2)] + [(b * f, 64, 2, 2)] * 2
+    torch.manual_seed(9)
+    residuals = [0.1 * torch.randn(s) for s in skip_shapes]
+    mid_res = 0.1 * torch.randn(b * f, 64, 2, 2)
+    with torch.no_grad():
+        want = oracle(sample, t, context, added,
+                      down_block_additional_residuals=residuals,
+                      mid_block_additional_residual=mid_res)
+
+    model = UNetSpatioTemporalConditionModel(config=SVDUNetConfig(
+        down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                          "CrossAttnDownBlockSpatioTemporal",
+                          "DownBlockSpatioTemporal"),
+        up_block_types=("UpBlockSpatioTemporal",
+                        "CrossAttnUpBlockSpatioTemporal",
+                        "CrossAttnUpBlockSpatioTemporal"),
+        block_out_channels=(32, 64, 64), transformer_layers_per_block=(1, 1, 1),
+        num_attention_heads=(4, 4, 4), cross_attention_dim=24,
+        addition_time_embed_dim=8, projection_class_embeddings_input_dim=24))
+    got = model.apply(
+        to_jax_params(oracle),
+        jnp.asarray(sample.numpy().transpose(0, 1, 3, 4, 2)),  # (b,f,h,w,c)
+        jnp.asarray(t.numpy()), jnp.asarray(context.numpy()),
+        jnp.asarray(added.numpy()),
+        down_block_additional_residuals=[nhwc(r) for r in residuals],
+        mid_block_additional_residual=nhwc(mid_res))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 1, 4, 2, 3), want.numpy(), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_temporal_decoder_vae_parity():
+    """SVD temporal-decoder VAE: encode moments + temporal decode vs oracle."""
+    from ctrl_adapter_tpu.models.vae import VAEConfig
+    from ctrl_adapter_tpu.models.vae_temporal import AutoencoderKLTemporalDecoder
+    from .torch_mirrors import AutoencoderKLTemporalDecoderT
+
+    torch.manual_seed(10)
+    oracle = AutoencoderKLTemporalDecoderT(
+        block_out=(32, 32, 32, 32), layers_per_block=2).eval()
+    x = torch.rand(2, 3, 32, 32) * 2 - 1  # 2 frames of 1 video
+    with torch.no_grad():
+        want_mean, _ = oracle.encode_moments(x)
+        want_img = oracle.decoder(want_mean, 2)
+
+    model = AutoencoderKLTemporalDecoder(config=VAEConfig(
+        block_out_channels=(32, 32, 32, 32), norm_num_groups=32, layers_per_block=2))
+    params = to_jax_params(oracle)
+    got_mean, _ = model.apply(params, nhwc(x), method="encode_moments")
+    np.testing.assert_allclose(nchw(got_mean), want_mean.numpy(), rtol=RTOL, atol=ATOL)
+    got_img = model.apply(params, jnp.asarray(want_mean.numpy().transpose(0, 2, 3, 1)),
+                          2, method="decode")
+    np.testing.assert_allclose(nchw(got_img), want_img.numpy(), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_i2vgen_unet_full_forward_parity():
+    """I2VGen-XL UNet (temporal convs/attentions, transformer_in stem, context
+    token assembly, fps embedding, residual injection) vs the torch oracle."""
+    from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet, I2VGenXLUNetConfig
+    from .torch_mirrors import I2VGenXLUNetT
+
+    torch.manual_seed(11)
+    b, f, hw = 1, 2, 32
+    oracle = I2VGenXLUNetT().eval()
+    sample = torch.randn(b, 4, f, hw, hw)
+    t = torch.tensor([321.0])
+    fps = torch.tensor([16.0])
+    image_latents = torch.randn(b, 4, f, hw, hw)
+    image_embeddings = torch.randn(b, 1, 24)
+    context = torch.randn(b, 7, 24)
+    skip_shapes = ([(b * f, 32, hw, hw)] * 2 + [(b * f, 32, hw // 2, hw // 2)] * 2
+                   + [(b * f, 32, hw // 4, hw // 4)] * 2
+                   + [(b * f, 32, hw // 8, hw // 8)] * 2)
+    torch.manual_seed(12)
+    residuals = [0.1 * torch.randn(s) for s in skip_shapes]
+    mid_res = 0.1 * torch.randn(b * f, 32, hw // 8, hw // 8)
+    with torch.no_grad():
+        want = oracle(sample, t, fps, image_latents, image_embeddings, context,
+                      down_block_additional_residuals=residuals,
+                      mid_block_additional_residual=mid_res)
+
+    model = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 32, 32), layers_per_block=1,
+        cross_attention_dim=24, attention_head_dim=16))
+    got = model.apply(
+        to_jax_params(oracle),
+        jnp.asarray(sample.numpy().transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(t.numpy()), jnp.asarray(fps.numpy()),
+        jnp.asarray(image_latents.numpy().transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(image_embeddings.numpy()), jnp.asarray(context.numpy()),
+        down_block_additional_residuals=[nhwc(r) for r in residuals],
+        mid_block_additional_residual=nhwc(mid_res))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want.numpy(), rtol=5e-4, atol=5e-4)

@@ -664,3 +664,792 @@ def to_jax_params(module: nn.Module) -> dict:
     return {"params": convert_state_dict(
         {k: v.detach().numpy() for k, v in module.state_dict().items()}
     )}
+
+
+# ------------------------------------------------------- temporal primitives
+class TemporalResnetBlockT(nn.Module):
+    """diffusers TemporalResnetBlock: (3,1,1) convs over (B, C, F, H, W)."""
+
+    def __init__(self, cin, cout=None, temb=None, eps=1e-6):
+        super().__init__()
+        cout = cout or cin
+        self.norm1 = nn.GroupNorm(32, cin, eps=eps)
+        self.conv1 = nn.Conv3d(cin, cout, (3, 1, 1), padding=(1, 0, 0))
+        self.time_emb_proj = nn.Linear(temb, cout) if temb else None
+        self.norm2 = nn.GroupNorm(32, cout, eps=eps)
+        self.conv2 = nn.Conv3d(cout, cout, (3, 1, 1), padding=(1, 0, 0))
+        self.conv_shortcut = nn.Conv3d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x, temb=None):
+        h = self.conv1(F.silu(self.norm1(x)))
+        if self.time_emb_proj is not None and temb is not None:
+            t = self.time_emb_proj(F.silu(temb))
+            h = h + t.permute(0, 2, 1)[:, :, :, None, None]
+        h = self.conv2(F.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class AlphaBlenderT(nn.Module):
+    def __init__(self, alpha=0.5, merge_strategy="learned_with_images",
+                 switch_spatial_to_temporal_mix=False):
+        super().__init__()
+        self.merge_strategy = merge_strategy
+        self.switch = switch_spatial_to_temporal_mix
+        self.mix_factor = nn.Parameter(torch.Tensor([alpha]))
+
+    def forward(self, x_spatial, x_temporal, image_only_indicator=None):
+        if self.merge_strategy == "learned":
+            alpha = torch.sigmoid(self.mix_factor)
+        else:  # learned_with_images
+            alpha = torch.where(
+                image_only_indicator.bool(),
+                torch.ones(1, 1, device=x_spatial.device),
+                torch.sigmoid(self.mix_factor)[..., None])
+            if x_spatial.ndim == 5:
+                alpha = alpha[:, None, :, None, None]
+            elif x_spatial.ndim == 3:
+                alpha = alpha.reshape(-1)[:, None, None]
+        if self.switch:
+            alpha = 1.0 - alpha
+        return x_spatial * alpha + x_temporal * (1.0 - alpha)
+
+
+class SpatioTemporalResBlockT(nn.Module):
+    def __init__(self, cin, cout=None, temb=None, eps=1e-6, temporal_eps=None,
+                 merge_factor=0.5, merge_strategy="learned_with_images",
+                 switch_spatial_to_temporal_mix=False):
+        super().__init__()
+        cout = cout or cin
+        self.spatial_res_block = ResnetBlock2DT(cin, cout, temb, 32, eps)
+        self.temporal_res_block = TemporalResnetBlockT(
+            cout, cout, temb, temporal_eps if temporal_eps is not None else eps)
+        self.time_mixer = AlphaBlenderT(merge_factor, merge_strategy,
+                                        switch_spatial_to_temporal_mix)
+
+    def forward(self, x, temb, image_only_indicator):
+        num_frames = image_only_indicator.shape[-1]
+        x = self.spatial_res_block(x, temb)
+        bf, c, h, w = x.shape
+        b = bf // num_frames
+        x5 = x.reshape(b, num_frames, c, h, w).permute(0, 2, 1, 3, 4)
+        temb5 = temb.reshape(b, num_frames, -1) if temb is not None else None
+        mixed = self.time_mixer(
+            x_spatial=x5, x_temporal=self.temporal_res_block(x5, temb5),
+            image_only_indicator=image_only_indicator)
+        return mixed.permute(0, 2, 1, 3, 4).reshape(bf, c, h, w)
+
+
+class TemporalBasicTransformerBlockT(nn.Module):
+    def __init__(self, dim, time_mix_inner_dim, heads, dim_head, cross_dim=None):
+        super().__init__()
+        self.is_res = dim == time_mix_inner_dim
+        self.norm_in = nn.LayerNorm(dim)
+        self.ff_in = FeedForwardT(dim, dim_out=time_mix_inner_dim)
+        self.norm1 = nn.LayerNorm(time_mix_inner_dim)
+        self.attn1 = AttentionT(time_mix_inner_dim, heads, dim_head)
+        self.has_cross = cross_dim is not None
+        if self.has_cross:
+            self.norm2 = nn.LayerNorm(time_mix_inner_dim)
+            self.attn2 = AttentionT(time_mix_inner_dim, heads, dim_head, cross_dim)
+        self.norm3 = nn.LayerNorm(time_mix_inner_dim)
+        self.ff = FeedForwardT(time_mix_inner_dim)
+
+    def forward(self, x, num_frames, context=None):
+        bf, seq, c = x.shape
+        b = bf // num_frames
+        x = x.reshape(b, num_frames, seq, c).permute(0, 2, 1, 3).reshape(b * seq, num_frames, c)
+        residual = x
+        x = self.ff_in(self.norm_in(x))
+        if self.is_res:
+            x = x + residual
+        x = self.attn1(self.norm1(x)) + x
+        if self.has_cross:
+            x = self.attn2(self.norm2(x), context) + x
+        ff_out = self.ff(self.norm3(x))
+        x = ff_out + x if self.is_res else ff_out
+        return x.reshape(b, seq, num_frames, c).permute(0, 2, 1, 3).reshape(bf, seq, c)
+
+
+class TransformerSpatioTemporalModelT(nn.Module):
+    def __init__(self, heads, dim_head, in_channels, num_layers=1, cross_dim=None):
+        super().__init__()
+        inner = heads * dim_head
+        self.in_channels = in_channels
+        self.norm = nn.GroupNorm(32, in_channels, eps=1e-6)
+        self.proj_in = nn.Linear(in_channels, inner)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlockT(inner, heads, dim_head, cross_dim)
+             for _ in range(num_layers)])
+        self.temporal_transformer_blocks = nn.ModuleList(
+            [TemporalBasicTransformerBlockT(inner, inner, heads, dim_head, cross_dim)
+             for _ in range(num_layers)])
+        self.time_pos_embed = TimestepEmbeddingT2(in_channels, in_channels * 4, in_channels)
+        self.time_mixer = AlphaBlenderT(0.5, "learned_with_images")
+        self.proj_out = nn.Linear(inner, in_channels)
+
+    def forward(self, x, context, image_only_indicator):
+        bf, c, h, w = x.shape
+        num_frames = image_only_indicator.shape[-1]
+        b = bf // num_frames
+        tc_first = context[None, :].reshape(b, num_frames, -1, context.shape[-1])[:, 0]
+        time_context = tc_first[None, :].broadcast_to(
+            h * w, b, tc_first.shape[1], tc_first.shape[2])
+        time_context = time_context.reshape(h * w * b, -1, tc_first.shape[2])
+
+        residual = x
+        x = self.norm(x).permute(0, 2, 3, 1).reshape(bf, h * w, c)
+        x = self.proj_in(x)
+        frame_idx = torch.arange(num_frames).repeat(b, 1).reshape(-1)
+        emb = self.time_pos_embed(
+            timestep_embedding(frame_idx, self.in_channels))[:, None, :]
+        for block, tblock in zip(self.transformer_blocks, self.temporal_transformer_blocks):
+            x = block(x, context)
+            x_mix = tblock(x + emb, num_frames, time_context)
+            x = self.time_mixer(x_spatial=x, x_temporal=x_mix,
+                                image_only_indicator=image_only_indicator)
+        x = self.proj_out(x)
+        return x.reshape(bf, h, w, c).permute(0, 3, 1, 2) + residual
+
+
+class TimestepEmbeddingT2(nn.Module):
+    """TimestepEmbedding with distinct out_dim (diffusers time_pos_embed)."""
+
+    def __init__(self, in_dim, hidden, out_dim):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_dim, hidden)
+        self.linear_2 = nn.Linear(hidden, out_dim)
+
+    def forward(self, x):
+        return self.linear_2(F.silu(self.linear_1(x)))
+
+
+# ------------------------------------------------------------- SVD UNet blocks
+class DownBlockSpatioTemporalT(nn.Module):
+    def __init__(self, cin, cout, temb, num_layers=2, add_downsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [SpatioTemporalResBlockT(cin if i == 0 else cout, cout, temb, eps=1e-5)
+             for i in range(num_layers)])
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None)
+
+    def forward(self, x, temb, image_only_indicator):
+        states = ()
+        for resnet in self.resnets:
+            x = resnet(x, temb, image_only_indicator)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class CrossAttnDownBlockSpatioTemporalT(nn.Module):
+    def __init__(self, cin, cout, temb, heads, cross_dim, num_layers=2,
+                 transformer_layers=1, add_downsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [SpatioTemporalResBlockT(cin if i == 0 else cout, cout, temb, eps=1e-6)
+             for i in range(num_layers)])
+        self.attentions = nn.ModuleList(
+            [TransformerSpatioTemporalModelT(heads, cout // heads, cout,
+                                             transformer_layers, cross_dim)
+             for _ in range(num_layers)])
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None)
+
+    def forward(self, x, temb, context, image_only_indicator):
+        states = ()
+        for resnet, attn in zip(self.resnets, self.attentions):
+            x = resnet(x, temb, image_only_indicator)
+            x = attn(x, context, image_only_indicator)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class UNetMidBlockSpatioTemporalT(nn.Module):
+    def __init__(self, channels, temb, heads, cross_dim, transformer_layers=1):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [SpatioTemporalResBlockT(channels, channels, temb, eps=1e-5),
+             SpatioTemporalResBlockT(channels, channels, temb, eps=1e-5)])
+        self.attentions = nn.ModuleList(
+            [TransformerSpatioTemporalModelT(heads, channels // heads, channels,
+                                             transformer_layers, cross_dim)])
+
+    def forward(self, x, temb, context, image_only_indicator):
+        x = self.resnets[0](x, temb, image_only_indicator)
+        x = self.attentions[0](x, context, image_only_indicator)
+        return self.resnets[1](x, temb, image_only_indicator)
+
+
+class UpBlockSpatioTemporalT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, num_layers=3, add_upsample=True):
+        super().__init__()
+        resnets = []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(SpatioTemporalResBlockT(rin + skip, cout, temb, eps=1e-5))
+        self.resnets = nn.ModuleList(resnets)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb, image_only_indicator):
+        for resnet in self.resnets:
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = resnet(x, temb, image_only_indicator)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class CrossAttnUpBlockSpatioTemporalT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, heads, cross_dim, num_layers=3,
+                 transformer_layers=1, add_upsample=True):
+        super().__init__()
+        resnets, attentions = [], []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(SpatioTemporalResBlockT(rin + skip, cout, temb, eps=1e-6))
+            attentions.append(TransformerSpatioTemporalModelT(
+                heads, cout // heads, cout, transformer_layers, cross_dim))
+        self.resnets = nn.ModuleList(resnets)
+        self.attentions = nn.ModuleList(attentions)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb, context, image_only_indicator):
+        for resnet, attn in zip(self.resnets, self.attentions):
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = resnet(x, temb, image_only_indicator)
+            x = attn(x, context, image_only_indicator)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class UNetSpatioTemporalConditionModelT(nn.Module):
+    """SVD UNet semantics (`unet_spatio_temporal_condition.py:364-490`) at a thin
+    config, incl. residual injection."""
+
+    def __init__(self, block_out=(32, 64, 64), heads=(4, 4, 4), cross_dim=24,
+                 layers_per_block=2, addition_time_embed_dim=8,
+                 down_types=("CrossAttnDownBlockSpatioTemporal",
+                             "CrossAttnDownBlockSpatioTemporal",
+                             "DownBlockSpatioTemporal"),
+                 up_types=("UpBlockSpatioTemporal",
+                           "CrossAttnUpBlockSpatioTemporal",
+                           "CrossAttnUpBlockSpatioTemporal")):
+        super().__init__()
+        time_dim = block_out[0] * 4
+        self.block_out = block_out
+        self.addition_time_embed_dim = addition_time_embed_dim
+        self.conv_in = nn.Conv2d(8, block_out[0], 3, padding=1)
+        self.time_embedding = TimestepEmbeddingT(block_out[0], time_dim)
+        self.add_embedding = TimestepEmbeddingT(3 * addition_time_embed_dim, time_dim)
+
+        down_blocks = []
+        out_ch = block_out[0]
+        for i, btype in enumerate(down_types):
+            in_ch, out_ch = out_ch, block_out[i]
+            final = i == len(block_out) - 1
+            if btype.startswith("CrossAttn"):
+                down_blocks.append(CrossAttnDownBlockSpatioTemporalT(
+                    in_ch, out_ch, time_dim, heads[i], cross_dim, layers_per_block,
+                    1, not final))
+            else:
+                down_blocks.append(DownBlockSpatioTemporalT(
+                    in_ch, out_ch, time_dim, layers_per_block, not final))
+        self.down_blocks = nn.ModuleList(down_blocks)
+        self.mid_block = UNetMidBlockSpatioTemporalT(
+            block_out[-1], time_dim, heads[-1], cross_dim)
+
+        up_blocks = []
+        rev = list(reversed(block_out))
+        rev_heads = list(reversed(heads))
+        out_ch = rev[0]
+        for i, btype in enumerate(up_types):
+            prev_out, out_ch = out_ch, rev[i]
+            in_ch = rev[min(i + 1, len(block_out) - 1)]
+            final = i == len(block_out) - 1
+            if btype.startswith("CrossAttn"):
+                up_blocks.append(CrossAttnUpBlockSpatioTemporalT(
+                    in_ch, prev_out, out_ch, time_dim, rev_heads[i], cross_dim,
+                    layers_per_block + 1, 1, not final))
+            else:
+                up_blocks.append(UpBlockSpatioTemporalT(
+                    in_ch, prev_out, out_ch, time_dim, layers_per_block + 1, not final))
+        self.up_blocks = nn.ModuleList(up_blocks)
+        self.conv_norm_out = nn.GroupNorm(32, block_out[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(block_out[0], 4, 3, padding=1)
+
+    def forward(self, sample, timesteps, context, added_time_ids,
+                down_block_additional_residuals=None,
+                mid_block_additional_residual=None):
+        b, num_frames = sample.shape[:2]
+        emb = self.time_embedding(timestep_embedding(timesteps, self.block_out[0]))
+        time_embeds = timestep_embedding(
+            added_time_ids.flatten(), self.addition_time_embed_dim).reshape(b, -1)
+        emb = emb + self.add_embedding(time_embeds)
+        sample = sample.flatten(0, 1)
+        emb = emb.repeat_interleave(num_frames, dim=0)
+        context = context.repeat_interleave(num_frames, dim=0)
+        image_only_indicator = torch.zeros(b, num_frames)
+        sample = self.conv_in(sample)
+        skips = (sample,)
+        for block in self.down_blocks:
+            if isinstance(block, CrossAttnDownBlockSpatioTemporalT):
+                sample, res = block(sample, emb, context, image_only_indicator)
+            else:
+                sample, res = block(sample, emb, image_only_indicator)
+            skips += res
+        if down_block_additional_residuals is not None:
+            skips = tuple(s + r for s, r in zip(skips, down_block_additional_residuals))
+        sample = self.mid_block(sample, emb, context, image_only_indicator)
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual
+        n_layers = len(self.down_blocks[0].resnets) + 1
+        for block in self.up_blocks:
+            res_samples, skips = skips[-n_layers:], skips[:-n_layers]
+            if isinstance(block, CrossAttnUpBlockSpatioTemporalT):
+                sample = block(sample, res_samples, emb, context, image_only_indicator)
+            else:
+                sample = block(sample, res_samples, emb, image_only_indicator)
+        sample = self.conv_out(F.silu(self.conv_norm_out(sample)))
+        return sample.reshape(b, num_frames, *sample.shape[1:])
+
+
+# ------------------------------------------------------------ temporal-decoder VAE
+class MidBlockTemporalDecoderT(nn.Module):
+    def __init__(self, channels, num_layers=2, attention_head_dim=None):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [SpatioTemporalResBlockT(channels, channels, None, eps=1e-6,
+                                     temporal_eps=1e-5, merge_factor=0.0,
+                                     merge_strategy="learned",
+                                     switch_spatial_to_temporal_mix=True)
+             for _ in range(num_layers)])
+        self.attentions = nn.ModuleList([VAEAttentionT(channels)])
+
+    def forward(self, x, image_only_indicator):
+        x = self.resnets[0](x, None, image_only_indicator)
+        for resnet in self.resnets[1:]:
+            x = self.attentions[0](x)
+            x = resnet(x, None, image_only_indicator)
+        return x
+
+
+class UpBlockTemporalDecoderT(nn.Module):
+    def __init__(self, cin, cout, num_layers=3, add_upsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [SpatioTemporalResBlockT(cin if i == 0 else cout, cout, None, eps=1e-6,
+                                     temporal_eps=1e-5, merge_factor=0.0,
+                                     merge_strategy="learned",
+                                     switch_spatial_to_temporal_mix=True)
+             for i in range(num_layers)])
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, image_only_indicator):
+        for resnet in self.resnets:
+            x = resnet(x, None, image_only_indicator)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class TemporalDecoderT(nn.Module):
+    def __init__(self, block_out=(32, 32, 32, 32), layers_per_block=2,
+                 latent_channels=4):
+        super().__init__()
+        rev = list(reversed(block_out))
+        self.conv_in = nn.Conv2d(latent_channels, rev[0], 3, padding=1)
+        self.mid_block = MidBlockTemporalDecoderT(rev[0], layers_per_block)
+        blocks, out_ch = [], rev[0]
+        for i, ch in enumerate(rev):
+            in_ch, out_ch = out_ch, ch
+            blocks.append(UpBlockTemporalDecoderT(
+                in_ch, out_ch, layers_per_block + 1, i != len(rev) - 1))
+        self.up_blocks = nn.ModuleList(blocks)
+        self.conv_norm_out = nn.GroupNorm(32, rev[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(rev[-1], 3, 3, padding=1)
+        self.time_conv_out = nn.Conv3d(3, 3, (3, 1, 1), padding=(1, 0, 0))
+
+    def forward(self, z, num_frames):
+        bf = z.shape[0]
+        b = bf // num_frames
+        image_only_indicator = torch.zeros(b, num_frames)
+        x = self.conv_in(z)
+        x = self.mid_block(x, image_only_indicator)
+        for block in self.up_blocks:
+            x = block(x, image_only_indicator)
+        x = self.conv_out(F.silu(self.conv_norm_out(x)))
+        c, h, w = x.shape[1:]
+        x5 = x.reshape(b, num_frames, c, h, w).permute(0, 2, 1, 3, 4)
+        x5 = self.time_conv_out(x5)
+        return x5.permute(0, 2, 1, 3, 4).reshape(bf, c, h, w)
+
+
+class AutoencoderKLTemporalDecoderT(nn.Module):
+    def __init__(self, block_out=(32, 32, 32, 32), layers_per_block=2,
+                 latent_channels=4):
+        super().__init__()
+        self.encoder = EncoderT(block_out, layers_per_block, 32, latent_channels)
+        self.decoder = TemporalDecoderT(block_out, layers_per_block, latent_channels)
+        self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+
+    def encode_moments(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = moments.chunk(2, dim=1)
+        return mean, torch.clamp(logvar, -30.0, 20.0)
+
+
+# ---------------------------------------------------------------- I2VGen-XL UNet
+class TemporalConvLayerT(nn.Module):
+    """diffusers TemporalConvLayer: 4 GN/SiLU/(3,1,1)-conv stages over
+    (B, C, F, H, W), residual; conv indices follow nn.Sequential layouts."""
+
+    def __init__(self, in_dim, out_dim=None, groups=32):
+        super().__init__()
+        out_dim = out_dim or in_dim
+        self.conv1 = nn.Sequential(
+            nn.GroupNorm(groups, in_dim), nn.SiLU(),
+            nn.Conv3d(in_dim, out_dim, (3, 1, 1), padding=(1, 0, 0)))
+        self.conv2 = nn.Sequential(
+            nn.GroupNorm(groups, out_dim), nn.SiLU(), nn.Dropout(0.0),
+            nn.Conv3d(out_dim, in_dim, (3, 1, 1), padding=(1, 0, 0)))
+        self.conv3 = nn.Sequential(
+            nn.GroupNorm(groups, in_dim), nn.SiLU(), nn.Dropout(0.0),
+            nn.Conv3d(in_dim, in_dim, (3, 1, 1), padding=(1, 0, 0)))
+        self.conv4 = nn.Sequential(
+            nn.GroupNorm(groups, in_dim), nn.SiLU(), nn.Dropout(0.0),
+            nn.Conv3d(in_dim, in_dim, (3, 1, 1), padding=(1, 0, 0)))
+
+    def forward(self, x, num_frames):
+        bf, c, h, w = x.shape
+        b = bf // num_frames
+        x = x.reshape(b, num_frames, c, h, w).permute(0, 2, 1, 3, 4)
+        identity = x
+        x = self.conv4(self.conv3(self.conv2(self.conv1(x))))
+        x = identity + x
+        return x.permute(0, 2, 1, 3, 4).reshape(bf, c, h, w)
+
+
+class TransformerTemporalModelT(nn.Module):
+    def __init__(self, heads, dim_head, in_channels, num_layers=1, groups=32):
+        super().__init__()
+        inner = heads * dim_head
+        self.norm = nn.GroupNorm(groups, in_channels, eps=1e-6)
+        self.proj_in = nn.Linear(in_channels, inner)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlockT(inner, heads, dim_head)
+             for _ in range(num_layers)])
+        self.proj_out = nn.Linear(inner, in_channels)
+
+    def forward(self, x, num_frames):
+        bf, c, h, w = x.shape
+        b = bf // num_frames
+        residual = x
+        x = x.reshape(b, num_frames, c, h, w)
+        x = x.permute(0, 2, 1, 3, 4)  # (b, c, f, h, w) for GN over (f, h, w)
+        x = self.norm(x)
+        x = x.permute(0, 3, 4, 2, 1).reshape(b * h * w, num_frames, c)
+        x = self.proj_in(x)
+        for block in self.transformer_blocks:
+            x = block(x)
+        x = self.proj_out(x)
+        x = x.reshape(b, h, w, num_frames, c).permute(0, 3, 4, 1, 2).reshape(bf, c, h, w)
+        return x + residual
+
+
+class _GELUActT(nn.Module):
+    """diffusers GELU activation module (key ``proj``)."""
+
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out)
+
+    def forward(self, x):
+        return F.gelu(self.proj(x))
+
+
+class I2VGenXLTransformerTemporalEncoderT(nn.Module):
+    def __init__(self, dim, heads, dim_head, ff_inner_dim):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn1 = AttentionT(dim, heads, dim_head)
+        self.ff = nn.Module()
+        self.ff.net = nn.ModuleList([
+            _GELUActT(dim, ff_inner_dim), nn.Dropout(0.0),
+            nn.Linear(ff_inner_dim, dim)])
+
+    def forward(self, x):
+        attn = self.attn1(self.norm1(x))
+        x = attn + x
+        h = self.ff.net[0](x)
+        return self.ff.net[2](h) + x
+
+
+class DownBlock3DT(nn.Module):
+    def __init__(self, cin, cout, temb, num_layers=2, groups=32, add_downsample=True):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, temb, groups)
+             for i in range(num_layers)])
+        self.temp_convs = nn.ModuleList(
+            [TemporalConvLayerT(cout, cout, groups) for _ in range(num_layers)])
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None)
+
+    def forward(self, x, temb, num_frames):
+        states = ()
+        for resnet, tconv in zip(self.resnets, self.temp_convs):
+            x = tconv(resnet(x, temb), num_frames)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class CrossAttnDownBlock3DT(nn.Module):
+    def __init__(self, cin, cout, temb, head_dim, cross_dim, num_layers=2,
+                 groups=32, add_downsample=True):
+        super().__init__()
+        heads = cout // head_dim
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(cin if i == 0 else cout, cout, temb, groups)
+             for i in range(num_layers)])
+        self.temp_convs = nn.ModuleList(
+            [TemporalConvLayerT(cout, cout, groups) for _ in range(num_layers)])
+        self.attentions = nn.ModuleList(
+            [Transformer2DModelT(heads, head_dim, cout, 1, cross_dim,
+                                 norm_groups=groups)
+             for _ in range(num_layers)])
+        self.temp_attentions = nn.ModuleList(
+            [TransformerTemporalModelT(heads, head_dim, cout, 1, groups)
+             for _ in range(num_layers)])
+        self.downsamplers = (
+            nn.ModuleList([Downsample2DT(cout)]) if add_downsample else None)
+
+    def forward(self, x, temb, context, num_frames):
+        states = ()
+        for resnet, tconv, attn, tattn in zip(
+                self.resnets, self.temp_convs, self.attentions, self.temp_attentions):
+            x = tconv(resnet(x, temb), num_frames)
+            x = attn(x, context)
+            x = tattn(x, num_frames)
+            states += (x,)
+        if self.downsamplers is not None:
+            x = self.downsamplers[0](x)
+            states += (x,)
+        return x, states
+
+
+class UNetMidBlock3DCrossAttnT(nn.Module):
+    def __init__(self, channels, temb, head_dim, cross_dim, groups=32):
+        super().__init__()
+        heads = channels // head_dim
+        self.resnets = nn.ModuleList(
+            [ResnetBlock2DT(channels, channels, temb, groups),
+             ResnetBlock2DT(channels, channels, temb, groups)])
+        self.temp_convs = nn.ModuleList(
+            [TemporalConvLayerT(channels, channels, groups),
+             TemporalConvLayerT(channels, channels, groups)])
+        self.attentions = nn.ModuleList(
+            [Transformer2DModelT(heads, head_dim, channels, 1, cross_dim,
+                                 norm_groups=groups)])
+        self.temp_attentions = nn.ModuleList(
+            [TransformerTemporalModelT(heads, head_dim, channels, 1, groups)])
+
+    def forward(self, x, temb, context, num_frames):
+        x = self.temp_convs[0](self.resnets[0](x, temb), num_frames)
+        x = self.attentions[0](x, context)
+        x = self.temp_attentions[0](x, num_frames)
+        return self.temp_convs[1](self.resnets[1](x, temb), num_frames)
+
+
+class UpBlock3DT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, num_layers=3, groups=32,
+                 add_upsample=True):
+        super().__init__()
+        resnets, temp_convs = [], []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(ResnetBlock2DT(rin + skip, cout, temb, groups))
+            temp_convs.append(TemporalConvLayerT(cout, cout, groups))
+        self.resnets = nn.ModuleList(resnets)
+        self.temp_convs = nn.ModuleList(temp_convs)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb, num_frames):
+        for resnet, tconv in zip(self.resnets, self.temp_convs):
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = tconv(resnet(x, temb), num_frames)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class CrossAttnUpBlock3DT(nn.Module):
+    def __init__(self, cin, prev_out, cout, temb, head_dim, cross_dim,
+                 num_layers=3, groups=32, add_upsample=True):
+        super().__init__()
+        heads = cout // head_dim
+        resnets, temp_convs, attentions, temp_attentions = [], [], [], []
+        for i in range(num_layers):
+            skip = cin if i == num_layers - 1 else cout
+            rin = prev_out if i == 0 else cout
+            resnets.append(ResnetBlock2DT(rin + skip, cout, temb, groups))
+            temp_convs.append(TemporalConvLayerT(cout, cout, groups))
+            attentions.append(Transformer2DModelT(heads, head_dim, cout, 1,
+                                                  cross_dim, norm_groups=groups))
+            temp_attentions.append(
+                TransformerTemporalModelT(heads, head_dim, cout, 1, groups))
+        self.resnets = nn.ModuleList(resnets)
+        self.temp_convs = nn.ModuleList(temp_convs)
+        self.attentions = nn.ModuleList(attentions)
+        self.temp_attentions = nn.ModuleList(temp_attentions)
+        self.upsamplers = nn.ModuleList([Upsample2DT(cout)]) if add_upsample else None
+
+    def forward(self, x, skips, temb, context, num_frames):
+        for resnet, tconv, attn, tattn in zip(
+                self.resnets, self.temp_convs, self.attentions, self.temp_attentions):
+            x = torch.cat([x, skips[-1]], dim=1)
+            skips = skips[:-1]
+            x = tconv(resnet(x, temb), num_frames)
+            x = attn(x, context)
+            x = tattn(x, num_frames)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class I2VGenXLUNetT(nn.Module):
+    """Reference-fork I2VGenXLUNet semantics (`unet_i2vgen_xl.py:530-714`) at a
+    thin config, incl. residual injection."""
+
+    def __init__(self, block_out=(32, 32, 32, 32), head_dim=16, cross_dim=24,
+                 layers_per_block=1, groups=32, in_channels=4):
+        super().__init__()
+        time_dim = block_out[0] * 4
+        self.block_out = block_out
+        self.cross_dim = cross_dim
+        self.in_ch = in_channels
+        self.conv_in = nn.Conv2d(in_channels * 2, block_out[0], 3, padding=1)
+        self.transformer_in = TransformerTemporalModelT(8, head_dim, block_out[0],
+                                                        1, groups)
+        self.image_latents_proj_in = nn.Sequential(
+            nn.Conv2d(4, in_channels * 4, 3, padding=1), nn.SiLU(),
+            nn.Conv2d(in_channels * 4, in_channels * 4, 3, padding=1), nn.SiLU(),
+            nn.Conv2d(in_channels * 4, in_channels, 3, padding=1))
+        self.image_latents_temporal_encoder = I2VGenXLTransformerTemporalEncoderT(
+            in_channels, 2, in_channels, in_channels * 4)
+        self.image_latents_context_embedding = nn.Sequential(
+            nn.Conv2d(4, in_channels * 8, 3, padding=1), nn.SiLU(),
+            nn.AdaptiveAvgPool2d((32, 32)),
+            nn.Conv2d(in_channels * 8, in_channels * 16, 3, stride=2, padding=1),
+            nn.SiLU(),
+            nn.Conv2d(in_channels * 16, cross_dim, 3, stride=2, padding=1))
+        self.time_embedding = TimestepEmbeddingT(block_out[0], time_dim)
+        self.context_embedding = nn.Sequential(
+            nn.Linear(cross_dim, time_dim), nn.SiLU(),
+            nn.Linear(time_dim, cross_dim * in_channels))
+        self.fps_embedding = nn.Sequential(
+            nn.Linear(block_out[0], time_dim), nn.SiLU(),
+            nn.Linear(time_dim, time_dim))
+
+        down_blocks = []
+        out_ch = block_out[0]
+        n = len(block_out)
+        for i in range(n):
+            in_ch, out_ch = out_ch, block_out[i]
+            final = i == n - 1
+            if not final:
+                down_blocks.append(CrossAttnDownBlock3DT(
+                    in_ch, out_ch, time_dim, head_dim, cross_dim, layers_per_block,
+                    groups, True))
+            else:
+                down_blocks.append(DownBlock3DT(
+                    in_ch, out_ch, time_dim, layers_per_block, groups, False))
+        self.down_blocks = nn.ModuleList(down_blocks)
+        self.mid_block = UNetMidBlock3DCrossAttnT(
+            block_out[-1], time_dim, head_dim, cross_dim, groups)
+        up_blocks = []
+        rev = list(reversed(block_out))
+        out_ch = rev[0]
+        for i in range(n):
+            prev_out, out_ch = out_ch, rev[i]
+            in_ch = rev[min(i + 1, n - 1)]
+            final = i == n - 1
+            if i == 0:
+                up_blocks.append(UpBlock3DT(
+                    in_ch, prev_out, out_ch, time_dim, layers_per_block + 1,
+                    groups, not final))
+            else:
+                up_blocks.append(CrossAttnUpBlock3DT(
+                    in_ch, prev_out, out_ch, time_dim, head_dim, cross_dim,
+                    layers_per_block + 1, groups, not final))
+        self.up_blocks = nn.ModuleList(up_blocks)
+        self.conv_norm_out = nn.GroupNorm(groups, block_out[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(block_out[0], 4, 3, padding=1)
+
+    def forward(self, sample, timesteps, fps, image_latents, image_embeddings,
+                encoder_hidden_states, down_block_additional_residuals=None,
+                mid_block_additional_residual=None):
+        b, c, num_frames, height, width = sample.shape
+        t_emb = self.time_embedding(timestep_embedding(timesteps, self.block_out[0]))
+        fps_emb = self.fps_embedding(timestep_embedding(fps, self.block_out[0]))
+        emb = (t_emb + fps_emb).repeat_interleave(num_frames, dim=0)
+
+        context = encoder_hidden_states
+        il_context = self.image_latents_context_embedding(image_latents[:, :, 0])
+        il_context = il_context.permute(0, 2, 3, 1).reshape(b, -1, self.cross_dim)
+        context = torch.cat([context, il_context], dim=1)
+        ie = self.context_embedding(image_embeddings)
+        ie = ie.reshape(b, self.in_ch, self.cross_dim)
+        context = torch.cat([context, ie], dim=1)
+        context = context.repeat_interleave(num_frames, dim=0)
+
+        il = image_latents.permute(0, 2, 1, 3, 4).reshape(b * num_frames, c, height, width)
+        il = self.image_latents_proj_in(il)
+        il = il.reshape(b, num_frames, c, height, width).permute(0, 3, 4, 1, 2)
+        il = il.reshape(b * height * width, num_frames, c)
+        il = self.image_latents_temporal_encoder(il)
+        il = il.reshape(b, height, width, num_frames, c).permute(0, 4, 3, 1, 2)
+
+        sample = torch.cat([sample, il], dim=1)
+        sample = sample.permute(0, 2, 1, 3, 4).reshape(b * num_frames, 2 * c, height, width)
+        sample = self.conv_in(sample)
+        sample = self.transformer_in(sample, num_frames)
+
+        skips = (sample,)
+        for block in self.down_blocks:
+            if isinstance(block, CrossAttnDownBlock3DT):
+                sample, res = block(sample, emb, context, num_frames)
+            else:
+                sample, res = block(sample, emb, num_frames)
+            skips += res
+        if down_block_additional_residuals is not None:
+            skips = tuple(s + r for s, r in zip(skips, down_block_additional_residuals))
+        sample = self.mid_block(sample, emb, context, num_frames)
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual
+        n_layers = len(self.down_blocks[0].resnets) + 1
+        for block in self.up_blocks:
+            res_samples, skips = skips[-n_layers:], skips[:-n_layers]
+            if isinstance(block, CrossAttnUpBlock3DT):
+                sample = block(sample, res_samples, emb, context, num_frames)
+            else:
+                sample = block(sample, res_samples, emb, num_frames)
+        sample = self.conv_out(F.silu(self.conv_norm_out(sample)))
+        return sample.reshape(b, num_frames, 4, height, width).permute(0, 2, 1, 3, 4)
