@@ -1,13 +1,20 @@
-"""Benchmark: SVD 512^2 depth-controlled video generation — frames/sec/chip.
+"""Benchmark matrix: Ctrl-Adapter TPU generation/training throughput per chip.
 
-North-star metric (BASELINE.md): frames/sec/chip for SVD 14-frame depth-controlled
-generation (25 EDM steps, CFG, skip_conv_in latent skipping), i.e. the full reference
-recipe of `inference_scripts/svd/*` re-expressed as jitted phase scans.
+Headline (default, recorded by the driver): SVD 512^2 depth-controlled video
+generation — frames/sec/chip (25 EDM steps, CFG, skip_conv_in latent skipping),
+i.e. the full reference recipe of `inference_scripts/svd/*` as jitted phase scans.
 
-The reference repo publishes no numbers (BASELINE.md); ``vs_baseline`` is therefore
-reported against a documented engineering estimate of the torch/A100 reference:
-~0.75 frames/sec (25 UNet steps at CFG batch 2 x 14 frames x 64^2 latents on A100
-plus chunked VAE decode, per the reference's per-step Python dispatch pipeline).
+``--config`` selects the measured recipe (BASELINE.md operating points):
+  svd_depth            SVD 14f 512^2 depth, 25 steps (default; north star)
+  svd_softedge_sparse  SVD 14f 512^2, sparse key-frame control (frames 0/5/10/13)
+  i2vgenxl_depth       I2VGen-XL 16f 512^2 depth, 50 DDIM steps
+  i2vgenxl_multi       I2VGen-XL 16f multi-condition (7-expert router, 2 active)
+  sdxl_depth           SDXL 1024^2 depth, 50 steps
+  train_step           I2VGen-XL 512^2x8f training step (adapter+AdamW), steps/sec
+
+The reference repo publishes no numbers (BASELINE.md); ``vs_baseline`` is
+reported against a documented engineering estimate of the torch/A100 reference
+for the headline config (~0.75 frames/sec) and is null for the other configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,8 +53,6 @@ def kernel_numerics_selfcheck():
     and NaN-ing near-constant groups — invisible to the CPU suite. This check
     runs the real kernels on the real chip before any timing.
     """
-    import numpy as np
-
     from ctrl_adapter_tpu.ops.group_norm import _xla_group_norm_silu, group_norm_silu
 
     rng = np.random.default_rng(0)
@@ -81,24 +86,27 @@ def fabricate(module, *args, seed=0, scale=0.02, dtype=jnp.bfloat16, **kwargs):
     return jax.tree.map(fill, shapes)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=14)
-    ap.add_argument("--steps", type=int, default=25)
-    ap.add_argument("--height", type=int, default=512)
-    ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
-    ap.add_argument("--breakdown", action="store_true",
-                    help="also time denoise-only vs VAE-decode (stderr)")
-    args = ap.parse_args()
+def force(x) -> float:
+    """Scalar host read to force full on-device execution. block_until_ready
+    alone is NOT sufficient under this image's remote-TPU tunnel (buffers report
+    ready at enqueue, yielding impossible ~0.03s "timings")."""
+    return float(jnp.sum(x.astype(jnp.float32)))
 
-    if args.quick:
-        args.frames, args.steps, args.height, args.width = 4, 5, 128, 128
 
-    if jax.default_backend() == "tpu":
-        kernel_numerics_selfcheck()
+def timed_runs(run, repeats, label):
+    t0 = time.time()
+    run(0)
+    print(f"# {label}: first run (incl. compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    return min(times)
 
+
+# ----------------------------------------------------------------------- SVD
+def bench_svd(args, sparse=False):
     from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
     from ctrl_adapter_tpu.models.controlnet import ControlNetModel
     from ctrl_adapter_tpu.models.unet_svd import UNetSpatioTemporalConditionModel
@@ -109,7 +117,7 @@ def main():
     dtype = jnp.bfloat16
     b, f = 1, args.frames
     lh, lw = args.height // 8, args.width // 8
-    cls = lh  # pooled control latent size tracks latent size (64 at 512^2)
+    cls = min(64, lh)  # pooled control latent size (64 at 512^2)
 
     unet = UNetSpatioTemporalConditionModel(dtype=dtype)
     cnet = ControlNetModel(dtype=dtype)
@@ -123,86 +131,333 @@ def main():
     vae = AutoencoderKLTemporalDecoder(config=VAEConfig(), dtype=dtype)
     pipe = SVDControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
 
-    # fabricate params (random weights: identical compute to released checkpoints)
     sample8 = jnp.ones((2 * b, f, lh, lw, 8), dtype)
     params = {
         "unet": fabricate(unet, sample8, jnp.ones((2 * b,)), jnp.ones((2 * b, 1, 1024), dtype),
                           jnp.ones((2 * b, 3), dtype)),
         "vae": fabricate(vae, jnp.ones((1, args.height, args.width, 3), dtype)),
     }
-    cn_args = (jnp.ones((2 * b * f, cls, cls, 4), dtype), jnp.ones((2 * b * f,)),
-               jnp.ones((2 * b * f, 77, 768), dtype),
-               jnp.ones((2 * b * f, cls * 8, cls * 8, 3), dtype))
+    sparse_frames = (0, 5, 10, 13) if sparse else None
+    n_ctrl = 2 * b * (len(sparse_frames) if sparse else f) if False else 2 * b * f
+    cn_args = (jnp.ones((n_ctrl, cls, cls, 4), dtype), jnp.ones((n_ctrl,)),
+               jnp.ones((n_ctrl, 77, 768), dtype),
+               jnp.ones((n_ctrl, cls * 8, cls * 8, 3), dtype))
     params["controlnet"] = fabricate(cnet, *cn_args)
     downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet"], *cn_args))
     params["adapter"] = fabricate(
         adapter, [jnp.zeros(s.shape, dtype) for s in downs_s], jnp.zeros(mid_s.shape, dtype),
-        f, jnp.ones((2 * b * f,)), jnp.ones((1, 1, 1024), dtype))
+        f, jnp.ones((n_ctrl,)), jnp.ones((1, 1, 1024), dtype))
 
     image_emb = jnp.ones((b, 1, 1024), dtype) * 0.1
     image_latent = jnp.ones((b, lh, lw, 4), dtype) * 0.1
     cn_prompt = jnp.ones((2 * b, 77, 768), dtype) * 0.02
     ctrl_images = jnp.ones((b * f, cls * 8, cls * 8, 3), dtype) * 0.5
 
-    def run(seed):
-        video = pipe.generate(
+    def run(seed, output_type="np"):
+        out = pipe.generate(
             params, jax.random.PRNGKey(seed), image_emb, image_latent, cn_prompt,
             ctrl_images, height=args.height, width=args.width, num_frames=f,
             num_inference_steps=args.steps, skip_conv_in=True,
             control_guidance_end=0.8, control_latent_size=cls,
+            sparse_frames=sparse_frames, output_type=output_type,
         )
-        # A scalar host read forces full on-device execution. block_until_ready alone
-        # is NOT sufficient under this image's remote-TPU tunnel (buffers report
-        # ready at enqueue, yielding impossible ~0.03s "timings").
-        checksum = float(jnp.sum(video.astype(jnp.float32)))
-        return video, checksum
-
-    t0 = time.time()
-    video, checksum = run(0)  # compile + first run
-    compile_wall = time.time() - t0
-    print(f"# first run (incl. compile): {compile_wall:.1f}s, video {video.shape}, "
-          f"checksum {checksum:.3f}", file=sys.stderr)
+        force(out)
+        return out
 
     if args.breakdown:
-        def run_latent(seed):
-            lat = pipe.generate(
-                params, jax.random.PRNGKey(seed), image_emb, image_latent, cn_prompt,
-                ctrl_images, height=args.height, width=args.width, num_frames=f,
-                num_inference_steps=args.steps, skip_conv_in=True,
-                control_guidance_end=0.8, control_latent_size=cls,
-                output_type="latent",
-            )
-            float(jnp.sum(lat.astype(jnp.float32)))
-            return lat
-
-        lat = run_latent(100)  # compile (decode-free program)
+        lat = run(100, output_type="latent")
         t0 = time.time()
-        run_latent(101)
+        run(101, output_type="latent")
         denoise_t = time.time() - t0
         t0 = time.time()
-        float(jnp.sum(pipe._decode(params["vae"], lat, 0.18215).astype(jnp.float32)))
+        force(pipe._decode(params["vae"], lat, 0.18215))
         decode_t = time.time() - t0
         print(f"# breakdown: denoise {denoise_t:.2f}s "
               f"({denoise_t / args.steps * 1000:.0f}ms/step), decode {decode_t:.2f}s",
               file=sys.stderr)
 
-    times = []
-    for i in range(args.repeats):
-        t0 = time.time()
-        run(i + 1)
-        times.append(time.time() - t0)
-    best = min(times)
+    tag = "sparse softedge" if sparse else "depth"
+    best = timed_runs(run, args.repeats, f"svd {tag}")
     fps = (b * f) / best
-    print(f"# steady-state generation: {best:.2f}s for {f} frames "
-          f"({args.steps} steps, {args.height}x{args.width})", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "frames/sec/chip (SVD depth-controlled generation, "
-                  f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip)",
+    print(f"# steady-state: {best:.2f}s for {f} frames", file=sys.stderr)
+    return {
+        "metric": f"frames/sec/chip (SVD {tag}-controlled generation, "
+                  f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip"
+                  + (", sparse 0/5/10/13" if sparse else "") + ")",
         "value": round(fps, 4),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / TORCH_A100_REFERENCE_FPS_ESTIMATE, 3),
-    }))
+        "vs_baseline": (round(fps / TORCH_A100_REFERENCE_FPS_ESTIMATE, 3)
+                        if not sparse else None),
+    }
+
+
+# ------------------------------------------------------------------ I2VGen-XL
+def bench_i2vgenxl(args, multi=False):
+    from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+    from ctrl_adapter_tpu.models.controlnet import ControlNetModel
+    from ctrl_adapter_tpu.models.router import ControlNetRouter
+    from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet
+    from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
+
+    dtype = jnp.bfloat16
+    b, f = 1, args.frames
+    lh, lw = args.height // 8, args.width // 8
+    cls = min(64, lh)
+    num_experts = 7 if multi else 1
+    active = 2 if multi else 1  # reference multi demo: depth+canny of 7 loaded
+
+    unet = I2VGenXLUNet(dtype=dtype)
+    cnet = ControlNetModel(dtype=dtype)
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", cross_attention_dim=1024, num_blocks=1,
+        adapter_locations=("A", "B", "C", "D", "M"),
+        add_temporal_resnet=True, add_temporal_transformer=True, dtype=dtype,
+    )
+    vae = AutoencoderKL(config=VAEConfig(), dtype=dtype)
+    router = ControlNetRouter(num_experts=num_experts) if multi else None
+    pipe = I2VGenXLControlNetAdapterPipeline(
+        unet=unet, controlnet=cnet, adapter=adapter, vae=vae, router=router)
+
+    params = {
+        "unet": fabricate(unet, jnp.ones((2 * b, f, lh, lw, 4), dtype),
+                          jnp.ones((2 * b,)), jnp.ones((2 * b,)),
+                          jnp.ones((2 * b, f, lh, lw, 4), dtype),
+                          jnp.ones((2 * b, 1, 1024), dtype),
+                          jnp.ones((2 * b, 77, 1024), dtype)),
+        "vae": fabricate(vae, jnp.ones((1, args.height, args.width, 3), dtype)),
+    }
+    cn_args = (jnp.ones((2 * b * f, cls, cls, 4), dtype), jnp.ones((2 * b * f,)),
+               jnp.ones((2 * b * f, 77, 768), dtype),
+               jnp.ones((2 * b * f, cls * 8, cls * 8, 3), dtype))
+    for e in range(num_experts):
+        params[f"controlnet_{e}"] = fabricate(cnet, *cn_args, seed=e)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet_0"], *cn_args))
+    params["adapter"] = fabricate(
+        adapter, [jnp.zeros(s.shape, dtype) for s in downs_s], jnp.zeros(mid_s.shape, dtype),
+        f, jnp.ones((2 * b * f,)), jnp.ones((1, 1, 1024), dtype))
+    if router is not None:
+        params["router"] = router.init(jax.random.PRNGKey(0))
+
+    prompt_embeds = jnp.ones((2 * b, 77, 1024), dtype) * 0.02
+    cn_prompt = jnp.ones((2 * b, 77, 768), dtype) * 0.02
+    image_emb = jnp.ones((b, 1, 1024), dtype) * 0.1
+    ffl = jnp.ones((b, lh, lw, 4), dtype) * 0.1
+    ctrl_images = jnp.ones((num_experts, b * f, cls * 8, cls * 8, 3), dtype) * 0.5
+    masks = [1] * active + [0] * (num_experts - active) if multi else None
+
+    def run(seed):
+        video = pipe.generate(
+            params, jax.random.PRNGKey(seed), prompt_embeds, cn_prompt, image_emb,
+            ffl, ctrl_images, height=args.height, width=args.width, num_frames=f,
+            num_inference_steps=args.steps, guidance_scale=9.0,
+            control_guidance_end=1.0 if multi else 0.8,
+            inference_expert_masks=masks, control_latent_size=cls,
+        )
+        force(video)
+        return video
+
+    tag = f"multi-condition {active}/{num_experts} experts" if multi else "depth"
+    best = timed_runs(run, args.repeats, f"i2vgenxl {tag}")
+    fps = (b * f) / best
+    print(f"# steady-state: {best:.2f}s for {f} frames", file=sys.stderr)
+    return {
+        "metric": f"frames/sec/chip (I2VGen-XL {tag} generation, "
+                  f"{f}f {args.steps}steps {args.height}x{args.width}, CFG)",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": None,
+    }
+
+
+# ----------------------------------------------------------------------- SDXL
+def bench_sdxl(args):
+    from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+    from ctrl_adapter_tpu.models.controlnet import ControlNetModel
+    from ctrl_adapter_tpu.models.unet_2d import SDXL_CONFIG, UNet2DConditionModel
+    from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ctrl_adapter_tpu.pipelines.sdxl import SDXLControlNetAdapterPipeline
+
+    dtype = jnp.bfloat16
+    b = 1
+    lh = args.height // 8
+    cls = 64  # control path fixed at 64 latent / 512 image (`sdxl_...py:1305-1312`)
+
+    unet = UNet2DConditionModel(config=SDXL_CONFIG, dtype=dtype)
+    cnet = ControlNetModel(dtype=dtype)
+    adapter = ControlNetAdapter(
+        backbone_model_name="sdxl", cross_attention_dim=2048, num_blocks=1,
+        adapter_locations=("A", "B", "C"),
+        add_temporal_resnet=False, add_temporal_transformer=False, dtype=dtype,
+    )
+    vae = AutoencoderKL(config=VAEConfig(scaling_factor=0.13025), dtype=dtype)
+    pipe = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+
+    added = {"text_embeds": jnp.ones((2 * b, 1280), dtype),
+             "time_ids": jnp.ones((2 * b, 6), dtype)}
+    params = {
+        "unet": fabricate(unet, jnp.ones((2 * b, lh, lh, 4), dtype), jnp.ones((2 * b,)),
+                          jnp.ones((2 * b, 77, 2048), dtype), added),
+        "vae": fabricate(vae, jnp.ones((1, args.height, args.width, 3), dtype)),
+    }
+    cn_args = (jnp.ones((2 * b, cls, cls, 4), dtype), jnp.ones((2 * b,)),
+               jnp.ones((2 * b, 77, 768), dtype),
+               jnp.ones((2 * b, cls * 8, cls * 8, 3), dtype))
+    params["controlnet"] = fabricate(cnet, *cn_args)
+    downs_s, _mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet"], *cn_args))
+    params["adapter"] = fabricate(
+        adapter, [jnp.zeros(s.shape, dtype) for s in downs_s], None,
+        1, jnp.ones((2 * b,)), jnp.ones((2 * b, 77, 2048), dtype))
+
+    prompt_embeds = jnp.ones((2 * b, 77, 2048), dtype) * 0.02
+    pooled = jnp.ones((2 * b, 1280), dtype) * 0.02
+    cn_prompt = jnp.ones((2 * b, 77, 768), dtype) * 0.02
+    control_image = jnp.ones((b, cls * 8, cls * 8, 3), dtype) * 0.5
+
+    def run(seed):
+        image = pipe.generate(
+            params, jax.random.PRNGKey(seed), prompt_embeds, pooled, cn_prompt,
+            control_image, height=args.height, width=args.width,
+            num_inference_steps=args.steps, guidance_scale=7.5,
+            control_guidance_end=0.6, control_latent_size=cls,
+        )
+        force(image)
+        return image
+
+    best = timed_runs(run, args.repeats, "sdxl depth")
+    ips = b / best
+    print(f"# steady-state: {best:.2f}s per image", file=sys.stderr)
+    return {
+        "metric": f"images/sec/chip (SDXL depth-controlled generation, "
+                  f"{args.steps}steps {args.height}x{args.width}, CFG)",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }
+
+
+# ----------------------------------------------------------------- train step
+def bench_train(args):
+    """I2VGen-XL depth training-step throughput (the paper's '<10 GPU-hours'
+    training story, reference `train.py:1018-1424`): full jitted step incl. VAE
+    encode, frozen towers, adapter fwd/bwd, AdamW."""
+    from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+    from ctrl_adapter_tpu.models.controlnet import ControlNetModel
+    from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet
+    from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ctrl_adapter_tpu.train.trainer import CtrlAdapterTrainer, TrainConfig
+
+    dtype = jnp.bfloat16
+    b, f = 1, args.frames
+    lh = args.height // 8
+    cls = min(64, lh)
+
+    cfg = TrainConfig(model_name="i2vgenxl", n_sample_frames=f,
+                      control_latent_size=cls, max_vae_encode=2)
+    unet = I2VGenXLUNet(dtype=dtype)
+    cnet = ControlNetModel(dtype=dtype)
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", cross_attention_dim=1024, num_blocks=1,
+        adapter_locations=("A", "B", "C", "D", "M"),
+        add_temporal_resnet=True, add_temporal_transformer=True, dtype=dtype,
+    )
+    vae = AutoencoderKL(config=VAEConfig(), dtype=dtype)
+    trainer = CtrlAdapterTrainer(cfg, unet, cnet, adapter, vae)
+
+    frozen = {
+        "unet": fabricate(unet, jnp.ones((b, f, lh, lh, 4), dtype), jnp.ones((b,)),
+                          jnp.ones((b,)), jnp.ones((b, f, lh, lh, 4), dtype),
+                          jnp.ones((b, 1, 1024), dtype), jnp.ones((b, 77, 1024), dtype)),
+        "vae": fabricate(vae, jnp.ones((1, args.height, args.width, 3), dtype)),
+    }
+    cn_args = (jnp.ones((b * f, cls, cls, 4), dtype), jnp.ones((b * f,)),
+               jnp.ones((b * f, 77, 768), dtype),
+               jnp.ones((b * f, cls * 8, cls * 8, 3), dtype))
+    frozen["controlnet_0"] = fabricate(cnet, *cn_args)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(frozen["controlnet_0"], *cn_args))
+    # trainable adapter params in fp32 (optimizer numerics)
+    trainable = {"adapter": jax.tree.map(
+        lambda x: x.astype(jnp.float32),
+        fabricate(adapter, [jnp.zeros(s.shape, dtype) for s in downs_s],
+                  jnp.zeros(mid_s.shape, dtype), f, jnp.ones((b * f,)),
+                  jnp.ones((1, 1, 1024), dtype)))}
+    opt_state = trainer.init_optimizer(trainable)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(-1, 1, (b, f, args.height, args.width, 3))
+                              .astype(np.float32)).astype(dtype),
+        "controlnet_cond": jnp.ones((1, b * f, cls * 8, cls * 8, 3), dtype) * 0.5,
+        "controlnet_text_emb": jnp.ones((b, 77, 768), dtype) * 0.02,
+        "prompt_embeds": jnp.ones((b, 77, 1024), dtype) * 0.02,
+        "image_embeddings": jnp.ones((b, 1, 1024), dtype) * 0.1,
+    }
+
+    state = {"trainable": trainable, "opt": opt_state}
+
+    def run(seed):
+        new_t, new_o, metrics = trainer.train_step(
+            state["trainable"], state["opt"], frozen, batch, None,
+            jax.random.PRNGKey(seed))
+        loss = float(metrics["loss"])
+        state["trainable"], state["opt"] = new_t, new_o
+        return loss
+
+    best = timed_runs(run, args.repeats, "i2vgenxl train step")
+    print(f"# steady-state: {best:.2f}s per step", file=sys.stderr)
+    return {
+        "metric": f"train steps/sec/chip (I2VGen-XL depth adapter training, "
+                  f"batch {b}x{f}f {args.height}x{args.width}, AdamW)",
+        "value": round(1.0 / best, 4),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }
+
+
+CONFIGS = {
+    "svd_depth": lambda a: bench_svd(a, sparse=False),
+    "svd_softedge_sparse": lambda a: bench_svd(a, sparse=True),
+    "i2vgenxl_depth": bench_i2vgenxl,
+    "i2vgenxl_multi": lambda a: bench_i2vgenxl(a, multi=True),
+    "sdxl_depth": bench_sdxl,
+    "train_step": bench_train,
+}
+
+DEFAULTS = {  # (frames, steps, height)
+    "svd_depth": (14, 25, 512),
+    "svd_softedge_sparse": (14, 25, 512),
+    "i2vgenxl_depth": (16, 50, 512),
+    "i2vgenxl_multi": (16, 50, 512),
+    "sdxl_depth": (1, 50, 1024),
+    "train_step": (8, 0, 512),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS), default="svd_depth")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time denoise-only vs VAE-decode (stderr; svd only)")
+    args = ap.parse_args()
+
+    df, ds, dh = DEFAULTS[args.config]
+    args.frames = args.frames if args.frames is not None else df
+    args.steps = args.steps if args.steps is not None else ds
+    args.height = args.height if args.height is not None else dh
+    args.width = args.width if args.width is not None else args.height
+    if args.quick:
+        args.frames, args.steps, args.height, args.width = 4, 5, 128, 128
+
+    if jax.default_backend() == "tpu":
+        kernel_numerics_selfcheck()
+
+    print(json.dumps(CONFIGS[args.config](args)))
 
 
 if __name__ == "__main__":
