@@ -1453,3 +1453,273 @@ class I2VGenXLUNetT(nn.Module):
                 sample = block(sample, res_samples, emb, num_frames)
         sample = self.conv_out(F.silu(self.conv_norm_out(sample)))
         return sample.reshape(b, num_frames, 4, height, width).permute(0, 2, 1, 3, 4)
+
+
+# ----------------------------------------------------- SwinV2 / MiDaS DPT-swin
+class SwinV2WindowAttentionT(nn.Module):
+    """timm swin_transformer_v2 WindowAttention: cosine attention + cpb MLP."""
+
+    def __init__(self, dim, window, num_heads, pretrained_window=0):
+        super().__init__()
+        self.dim, self.window, self.num_heads = dim, window, num_heads
+        self.logit_scale = nn.Parameter(
+            torch.log(10 * torch.ones((num_heads, 1, 1))))
+        self.cpb_mlp = nn.Sequential(
+            nn.Linear(2, 512, bias=True), nn.ReLU(inplace=True),
+            nn.Linear(512, num_heads, bias=False))
+        coords = torch.arange(-(window - 1), window, dtype=torch.float32)
+        table = torch.stack(torch.meshgrid(coords, coords, indexing="ij"),
+                            dim=-1)[None]
+        denom = (pretrained_window - 1) if pretrained_window > 0 else (window - 1)
+        table = table / max(denom, 1) * 8
+        table = torch.sign(table) * torch.log2(table.abs() + 1.0) / math.log2(8)
+        self.register_buffer("relative_coords_table", table)
+        c = torch.stack(torch.meshgrid(torch.arange(window), torch.arange(window),
+                                       indexing="ij")).flatten(1)
+        rel = (c[:, :, None] - c[:, None, :]).permute(1, 2, 0)
+        rel[:, :, 0] += window - 1
+        rel[:, :, 1] += window - 1
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.qkv = nn.Linear(dim, 3 * dim, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(dim))
+        self.v_bias = nn.Parameter(torch.zeros(dim))
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        qkv_bias = torch.cat((self.q_bias, torch.zeros_like(self.v_bias),
+                              self.v_bias))
+        qkv = F.linear(x, self.qkv.weight, qkv_bias)
+        qkv = qkv.reshape(B_, N, 3, self.num_heads, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = F.normalize(q, dim=-1) @ F.normalize(k, dim=-1).transpose(-2, -1)
+        logit_scale = torch.clamp(self.logit_scale,
+                                  max=math.log(1.0 / 0.01)).exp()
+        attn = attn * logit_scale
+        bias_table = self.cpb_mlp(self.relative_coords_table).view(-1, self.num_heads)
+        bias = bias_table[self.relative_position_index.view(-1)].view(
+            N, N, self.num_heads).permute(2, 0, 1)
+        attn = attn + 16 * torch.sigmoid(bias)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, self.num_heads, N, N) + \
+                mask[None, :, None]
+            attn = attn.view(B_, self.num_heads, N, N)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(x)
+
+
+def _swin_window_partition(x, window):
+    B, H, W, C = x.shape
+    x = x.view(B, H // window, window, W // window, window, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+
+
+def _swin_window_reverse(x, window, H, W):
+    B = x.shape[0] // ((H // window) * (W // window))
+    x = x.view(B, H // window, W // window, window, window, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class SwinV2BlockT(nn.Module):
+    def __init__(self, dim, resolution, num_heads, window, shift,
+                 pretrained_window=0, mlp_ratio=4.0):
+        super().__init__()
+        self.dim, self.resolution = dim, resolution
+        self.window, self.shift = window, shift
+        self.attn = SwinV2WindowAttentionT(dim, window, num_heads,
+                                           pretrained_window)
+        self.norm1 = nn.LayerNorm(dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+        self.norm2 = nn.LayerNorm(dim)
+        if shift > 0:
+            H = W = resolution
+            img_mask = torch.zeros((1, H, W, 1))
+            cnt = 0
+            for hs in (slice(0, -window), slice(-window, -shift),
+                       slice(-shift, None)):
+                for ws in (slice(0, -window), slice(-window, -shift),
+                           slice(-shift, None)):
+                    img_mask[:, hs, ws, :] = cnt
+                    cnt += 1
+            mw = _swin_window_partition(img_mask, window).squeeze(-1)
+            diff = mw.unsqueeze(1) - mw.unsqueeze(2)
+            self.register_buffer(
+                "attn_mask", torch.where(diff != 0,
+                                         torch.tensor(-100.0),
+                                         torch.tensor(0.0)))
+        else:
+            self.attn_mask = None
+
+    def forward(self, x):
+        H = W = self.resolution
+        B, L, C = x.shape
+        shortcut = x
+        xg = x.view(B, H, W, C)
+        if self.shift > 0:
+            xg = torch.roll(xg, (-self.shift, -self.shift), dims=(1, 2))
+        windows = _swin_window_partition(xg, self.window)
+        attn = self.attn(windows, self.attn_mask)
+        xg = _swin_window_reverse(attn, self.window, H, W)
+        if self.shift > 0:
+            xg = torch.roll(xg, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + self.norm1(xg.reshape(B, L, C))
+        x = x + self.norm2(self.mlp.fc2(F.gelu(self.mlp.fc1(x))))
+        return x
+
+
+class SwinV2PatchMergingT(nn.Module):
+    def __init__(self, dim, resolution):
+        super().__init__()
+        self.dim, self.resolution = dim, resolution
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(2 * dim)
+
+    def forward(self, x):
+        H = W = self.resolution
+        B, L, C = x.shape
+        xg = x.view(B, H, W, C)
+        x0 = xg[:, 0::2, 0::2]
+        x1 = xg[:, 1::2, 0::2]
+        x2 = xg[:, 0::2, 1::2]
+        x3 = xg[:, 1::2, 1::2]
+        xg = torch.cat([x0, x1, x2, x3], -1).view(B, -1, 4 * C)
+        return self.norm(self.reduction(xg))
+
+
+class SwinV2StageT(nn.Module):
+    def __init__(self, dim, depth, resolution, num_heads, window,
+                 pretrained_window, downsample):
+        super().__init__()
+        ws = min(window, resolution)
+        blocks = []
+        for j in range(depth):
+            shift = 0 if (j % 2 == 0 or resolution <= ws) else ws // 2
+            blocks.append(SwinV2BlockT(dim, resolution, num_heads, ws, shift,
+                                       pretrained_window))
+        self.blocks = nn.ModuleList(blocks)
+        self.downsample = (SwinV2PatchMergingT(dim, resolution)
+                           if downsample else None)
+
+    def forward(self, x):
+        for block in self.blocks:
+            x = block(x)
+        feature = x
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return x, feature
+
+
+class SwinV2T(nn.Module):
+    """timm swin_transformer_v2 semantics (0.6.x sequence layout, the version
+    the vendored MiDaS hooks assume); returns per-stage features (B, L, C)."""
+
+    def __init__(self, img_size=64, patch_size=4, embed_dim=16,
+                 depths=(1, 2, 2, 1), num_heads=(2, 2, 4, 4), window=4,
+                 pretrained_windows=(2, 2, 2, 2)):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, embed_dim, patch_size, patch_size)
+        self.patch_embed.norm = nn.LayerNorm(embed_dim)
+        grid = img_size // patch_size
+        layers = []
+        dim, res = embed_dim, grid
+        for i, depth in enumerate(depths):
+            layers.append(SwinV2StageT(dim, depth, res, num_heads[i], window,
+                                       pretrained_windows[i],
+                                       i < len(depths) - 1))
+            if i < len(depths) - 1:
+                dim *= 2
+                res //= 2
+        self.layers = nn.ModuleList(layers)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = self.patch_embed.norm(x)
+        features = []
+        for layer in self.layers:
+            x, feature = layer(x)
+            features.append(feature)
+        return features
+
+
+class _MidasResidualConvUnitT(nn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.conv1 = nn.Conv2d(features, features, 3, padding=1)
+        self.conv2 = nn.Conv2d(features, features, 3, padding=1)
+
+    def forward(self, x):
+        out = self.conv2(F.relu(self.conv1(F.relu(x))))
+        return out + x
+
+
+class _MidasFusionBlockT(nn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.out_conv = nn.Conv2d(features, features, 1)
+        self.resConfUnit1 = _MidasResidualConvUnitT(features)
+        self.resConfUnit2 = _MidasResidualConvUnitT(features)
+
+    def forward(self, x, skip=None, size=None):
+        if skip is not None:
+            x = x + self.resConfUnit1(skip)
+        x = self.resConfUnit2(x)
+        kwargs = {"scale_factor": 2} if size is None else {"size": size}
+        x = F.interpolate(x, mode="bilinear", align_corners=True, **kwargs)
+        return self.out_conv(x)
+
+
+class DPTSwinT(nn.Module):
+    """MiDaS DPTDepthModel with swin backbone at thin config; state-dict keys
+    match the real ``dpt_swin2_large_384.pt`` layout (pretrained.model.* +
+    scratch.*)."""
+
+    def __init__(self, features=32, **swin_kwargs):
+        super().__init__()
+        self.pretrained = nn.Module()
+        self.pretrained.model = SwinV2T(**swin_kwargs)
+        embed = self.pretrained.model.patch_embed.proj.out_channels
+        grid = swin_kwargs.get("img_size", 64) // swin_kwargs.get("patch_size", 4)
+        self.grids = [grid, grid // 2, grid // 4, grid // 8]
+        dims = [embed, embed * 2, embed * 4, embed * 8]
+        self.scratch = nn.Module()
+        for i, d in enumerate(dims):
+            setattr(self.scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(d, features, 3, padding=1, bias=False))
+        self.scratch.refinenet1 = _MidasFusionBlockT(features)
+        self.scratch.refinenet2 = _MidasFusionBlockT(features)
+        self.scratch.refinenet3 = _MidasFusionBlockT(features)
+        self.scratch.refinenet4 = _MidasFusionBlockT(features)
+        self.scratch.output_conv = nn.Sequential(
+            nn.Conv2d(features, features // 2, 3, padding=1),
+            nn.Identity(),  # Interpolate module (no params)
+            nn.Conv2d(features // 2, 32, 3, padding=1),
+            nn.ReLU(True),
+            nn.Conv2d(32, 1, 1),
+            nn.ReLU(True),
+            nn.Identity(),
+        )
+
+    def forward(self, x):
+        feats = self.pretrained.model(x)
+        grids = []
+        for f, g in zip(feats, self.grids):
+            grids.append(f.transpose(1, 2).unflatten(2, (g, g)))
+        l1 = self.scratch.layer1_rn(grids[0])
+        l2 = self.scratch.layer2_rn(grids[1])
+        l3 = self.scratch.layer3_rn(grids[2])
+        l4 = self.scratch.layer4_rn(grids[3])
+        p4 = self.scratch.refinenet4(l4, size=l3.shape[2:])
+        p3 = self.scratch.refinenet3(p4, l3, size=l2.shape[2:])
+        p2 = self.scratch.refinenet2(p3, l2, size=l1.shape[2:])
+        p1 = self.scratch.refinenet1(p2, l1)
+        x = self.scratch.output_conv[0](p1)
+        x = F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=True)
+        for m in self.scratch.output_conv[2:]:
+            x = m(x)
+        return x.squeeze(1)
