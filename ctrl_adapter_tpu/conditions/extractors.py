@@ -286,6 +286,20 @@ class ConditionExtractor:
                 extract_shuffle(im, seed=i) for i, im in enumerate(imgs)]
         elif control_type == "depth":
             path = self._paths.get("depth", "Intel/dpt-large")
+            if str(path).endswith((".pt", ".pth")):
+                # MiDaS checkpoint (the reference ships dpt_swin2_large_384,
+                # `utils/run_depth.py:125-148`) -> TPU-native flax SwinV2 DPT
+                from .dpt_swin import DepthDPTSwin
+
+                try:
+                    self._estimators["depth"] = DepthDPTSwin(path)
+                    return
+                except (FileNotFoundError, OSError, KeyError, ValueError) as e:
+                    import sys as _sys
+
+                    print(f"depth: flax swin2 DPT unavailable for {path!r} "
+                          f"({type(e).__name__}: {e}); trying other backends",
+                          file=_sys.stderr)
             try:
                 # TPU-native flax DPT (plain-ViT checkpoints, the reference default)
                 self._estimators["depth"] = DepthDPT(path)
