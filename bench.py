@@ -70,6 +70,25 @@ def kernel_numerics_selfcheck():
         assert np.isfinite(got).all() and err < 1e-4, (
             f"fused GroupNorm diverges from fallback on this chip: "
             f"shape={shape} maxdiff={err:.3e}")
+
+    from ctrl_adapter_tpu.ops.fused_block import _xla_ln_ff_residual, ln_ff_residual
+
+    for (m, c) in ((1024, 320), (256, 1280)):
+        inner = 4 * c
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s).astype(np.float32))
+        x, lns, lnb = mk(m, c) * 0.5, mk(c), mk(c) * 0.1
+        wg, bg = mk(c, 2 * inner) * 0.05, mk(2 * inner) * 0.1
+        w2, b2 = mk(inner, c) * 0.05, mk(c) * 0.1
+        got = np.asarray(jax.jit(lambda *a: ln_ff_residual(
+            *a, 1e-5, False, True, None, True))(x, lns, lnb, wg, bg, w2, b2))
+        want = np.asarray(jax.jit(lambda *a: _xla_ln_ff_residual(
+            *a, 1e-5, False, True, None))(x, lns, lnb, wg, bg, w2, b2))
+        err = np.abs(got - want).max()
+        rel = err / max(np.abs(want).max(), 1e-6)
+        assert np.isfinite(got).all() and rel < 2e-2, (
+            f"fused LN-FF diverges from fallback on this chip: "
+            f"m={m} c={c} maxdiff={err:.3e} rel={rel:.3e}")
     print("# kernel numerics self-check passed", file=sys.stderr)
 
 

@@ -154,6 +154,67 @@ class FeedForward(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """LayerNorm-identical params (``scale``/``bias``) without the compute."""
+
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _GEGLUParams(nn.Module):
+    """GEGLU-identical params (``proj`` Dense) without the compute."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.features, name="proj",
+                            param_dtype=self.param_dtype)(in_features)
+
+
+class _FFParams(nn.Module):
+    """FeedForward-identical params (net_0.proj + net_2) without the compute."""
+
+    dim_out: int
+    mult: int = 4
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        inner = in_features * self.mult
+        kg, bg = _GEGLUParams(inner * 2, name="net_0",
+                              param_dtype=self.param_dtype)(in_features)
+        k2, b2 = _DenseParams(self.dim_out, name="net_2",
+                              param_dtype=self.param_dtype)(inner)
+        return kg, bg, k2, b2
+
+
+def _ln_ff(x: jnp.ndarray, ln_name: str, ff_name: str, dim_out: int,
+           residual: bool, dtype, param_dtype) -> jnp.ndarray:
+    """LayerNorm -> GEGLU FF (+residual) through the whole-sub-block Pallas
+    kernel (ops/fused_block.py); params keep the exact ``normX``/``ff`` names so
+    checkpoints convert unchanged."""
+    from ..ops.fused_block import ln_ff_residual
+
+    c = x.shape[-1]
+    ln_scale, ln_bias = _LNParams(name=ln_name, param_dtype=param_dtype)(c)
+    kg, bg, k2, b2 = _FFParams(dim_out, name=ff_name, param_dtype=param_dtype)(c)
+    approx = dtype == jnp.bfloat16 and os.environ.get(
+        "CTRL_ADAPTER_EXACT_GELU") != "1"
+    return ln_ff_residual(
+        x, ln_scale, ln_bias, kg.astype(dtype), bg.astype(dtype),
+        k2.astype(dtype), b2.astype(dtype),
+        1e-5, approx, residual, dtype)
+
+
 class BasicTransformerBlock(nn.Module):
     """LayerNorm-sandwiched self-attn, cross-attn, GEGLU FF with residuals.
 
@@ -205,11 +266,10 @@ class BasicTransformerBlock(nn.Module):
                 norm_hidden, encoder_hidden_states
             ) + hidden_states
 
-        # 3. feed-forward.
-        norm_hidden = ln("norm3")(hidden_states)
-        hidden_states = FeedForward(
-            self.dim, name="ff", dtype=self.dtype, param_dtype=self.param_dtype
-        )(norm_hidden) + hidden_states
+        # 3. feed-forward: whole LN->GEGLU->proj->+res sub-block as one kernel.
+        hidden_states = _ln_ff(
+            hidden_states, "norm3", "ff", self.dim, residual=True,
+            dtype=self.dtype, param_dtype=self.param_dtype)
         return hidden_states
 
 
@@ -246,15 +306,9 @@ class TemporalBasicTransformerBlock(nn.Module):
         hidden_states = hidden_states.transpose(0, 2, 1, 3)
         hidden_states = hidden_states.reshape(batch_size * seq_length, num_frames, channels)
 
-        residual = hidden_states
-        hidden_states = nn.LayerNorm(
-            epsilon=1e-5, name="norm_in", dtype=self.dtype, param_dtype=self.param_dtype
-        )(hidden_states)
-        hidden_states = FeedForward(
-            self.time_mix_inner_dim, name="ff_in", dtype=self.dtype, param_dtype=self.param_dtype
-        )(hidden_states)
-        if is_res:
-            hidden_states = hidden_states + residual
+        hidden_states = _ln_ff(
+            hidden_states, "norm_in", "ff_in", self.time_mix_inner_dim,
+            residual=is_res, dtype=self.dtype, param_dtype=self.param_dtype)
 
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=1e-5, name=name, dtype=self.dtype, param_dtype=self.param_dtype
@@ -281,11 +335,9 @@ class TemporalBasicTransformerBlock(nn.Module):
                 param_dtype=self.param_dtype,
             )(norm_hidden, encoder_hidden_states) + hidden_states
 
-        norm_hidden = ln("norm3")(hidden_states)
-        ff_out = FeedForward(
-            self.time_mix_inner_dim, name="ff", dtype=self.dtype, param_dtype=self.param_dtype
-        )(norm_hidden)
-        hidden_states = ff_out + hidden_states if is_res else ff_out
+        hidden_states = _ln_ff(
+            hidden_states, "norm3", "ff", self.time_mix_inner_dim,
+            residual=is_res, dtype=self.dtype, param_dtype=self.param_dtype)
 
         # (b*s, f, c) -> (b*f, s, c)
         hidden_states = hidden_states.reshape(batch_size, seq_length, num_frames, channels)
