@@ -184,10 +184,27 @@ class CLIPImageEncoder:
             projection_dim=cfg.get("projection_dim", 1024),
         ))
 
-    def __call__(self, images: List[np.ndarray]) -> np.ndarray:
+    def __call__(self, images: List[np.ndarray],
+                 antialiased: bool = False) -> np.ndarray:
+        """``antialiased=True`` follows the SVD pipeline's preprocessing
+        (`svd_..._pipeline.py:239-263`): gaussian-prefiltered bicubic 224 resize
+        of the [-1,1] image, then CLIP mean/std normalize only — instead of the
+        CLIPImageProcessor resize used by I2VGen-XL."""
         import jax.numpy as jnp
 
-        inputs = self.processor(images=images, return_tensors="np")
-        pix = jnp.asarray(inputs["pixel_values"].transpose(0, 2, 3, 1))  # NHWC
+        if antialiased:
+            from ..ops.resize import antialiased_resize
+
+            arr = np.stack([np.asarray(im, np.float32) for im in images])
+            if arr.max() > 1.5:  # uint8-range input -> [-1, 1]
+                arr = arr / 127.5 - 1.0
+            small = np.asarray(antialiased_resize(jnp.asarray(arr), (224, 224)))
+            small = (small + 1.0) / 2.0
+            mean = np.asarray(self.processor.image_mean, np.float32)
+            std = np.asarray(self.processor.image_std, np.float32)
+            pix = jnp.asarray((small - mean) / std)
+        else:
+            inputs = self.processor(images=images, return_tensors="np")
+            pix = jnp.asarray(inputs["pixel_values"].transpose(0, 2, 3, 1))  # NHWC
         _, embeds = self.model.apply(self.params, pix)
         return np.asarray(embeds)[:, None, :]  # (n, 1, dim)

@@ -107,3 +107,79 @@ def bilinear_resize_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jn
 
     x = interp_axis(x, out_hw[0], x.ndim - 3)
     return interp_axis(x, out_hw[1], x.ndim - 2)
+
+
+def _cubic_weights(n_in: int, n_out: int, a: float = -0.75):
+    """Torch ``interpolate(mode='bicubic', align_corners=True)`` weight matrix
+    (n_out, n_in) as a numpy constant (indices clamped at borders)."""
+    import numpy as np
+
+    if n_in == n_out:
+        return None
+    w = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    for i in range(n_out):
+        pos = i * (n_in - 1) / (n_out - 1)
+        base = int(np.floor(pos))
+        t = pos - base
+        for k in range(-1, 3):
+            d = abs(t - k)
+            if d <= 1.0:
+                wk = (a + 2) * d**3 - (a + 3) * d**2 + 1
+            elif d < 2.0:
+                wk = a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a
+            else:
+                wk = 0.0
+            w[i, min(max(base + k, 0), n_in - 1)] += wk
+    return w
+
+
+def bicubic_resize_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize with torch ``align_corners=True`` semantics on ...HWC."""
+    wh = _cubic_weights(x.shape[-3], out_hw[0])
+    ww = _cubic_weights(x.shape[-2], out_hw[1])
+    if wh is not None:
+        x = jnp.einsum("oh,...hwc->...owc", jnp.asarray(wh, x.dtype), x)
+    if ww is not None:
+        x = jnp.einsum("ow,...hwc->...hoc", jnp.asarray(ww, x.dtype), x)
+    return x
+
+
+def antialiased_resize(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Gaussian-prefiltered bicubic downscale, matching the reference SVD
+    preprocessing (`utils/utils_svd.py:137-180` _resize_with_antialiasing):
+    sigma = max((factor-1)/2, 1e-3) per axis, odd kernel of ~4 sigma (min 3),
+    reflect padding, then bicubic align_corners=True interpolation. Input ...HWC."""
+    import numpy as np
+
+    h, w = x.shape[-3], x.shape[-2]
+    factors = (h / out_hw[0], w / out_hw[1])
+    sigmas = (max((factors[0] - 1.0) / 2.0, 0.001),
+              max((factors[1] - 1.0) / 2.0, 0.001))
+    ks = [int(max(2.0 * 2 * s, 3)) for s in sigmas]
+    ks = [k + 1 if k % 2 == 0 else k for k in ks]
+
+    def gaussian_1d(size, sigma):
+        xs = np.arange(size, dtype=np.float32) - size // 2
+        g = np.exp(-(xs**2) / (2.0 * sigma**2))
+        return g / g.sum()
+
+    def blur_axis(arr, k, sigma, axis):
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (k // 2, k // 2)
+        arr = jnp.pad(arr, pad, mode="reflect")
+        kern = jnp.asarray(gaussian_1d(k, sigma), arr.dtype)
+        # correlate along axis via moving sum of shifted slices (k is tiny)
+        out = 0.0
+        n = arr.shape[axis] - k + 1
+        for j in range(k):
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(j, j + n)
+            out = out + kern[j] * arr[tuple(sl)]
+        return out
+
+    x = blur_axis(x, ks[1], sigmas[1], x.ndim - 2)  # x direction first (`:148-150`)
+    x = blur_axis(x, ks[0], sigmas[0], x.ndim - 3)
+    return bicubic_resize_align_corners(x, out_hw)

@@ -349,7 +349,10 @@ def main():
 
         def image_embeds():
             if encoders is not None and "image" in encoders:
-                return jnp.asarray(encoders["image"]([frames[0]]))
+                # SVD preprocesses with the antialiased resize path
+                # (`svd_..._pipeline.py:239-263`)
+                return jnp.asarray(encoders["image"](
+                    [frames[0]], antialiased=args.model_name == "svd"))
             return jnp.ones((1, 1, 1024)) * 0.1
 
         rng = jax.random.PRNGKey(args.seed)

@@ -163,3 +163,43 @@ def test_attention_small_seq_and_single_key_shortcuts():
     want1 = jax.nn.dot_product_attention(q, k1, v1)
     got1 = dot_product_attention(q, k1, v1)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=1e-6)
+
+
+def test_antialiased_resize_matches_torch_reference():
+    """Matches the SVD preprocessing resize (`utils/utils_svd.py:137-180`):
+    gaussian prefilter (reflect pad) + bicubic align_corners=True."""
+    import torch
+    import torch.nn.functional as TF
+
+    from ctrl_adapter_tpu.ops.resize import antialiased_resize
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(-1, 1, (2, 64, 48, 3)).astype(np.float32)
+    size = (24, 20)
+
+    # torch oracle implementing the same published recipe (skimage sigma rule,
+    # two-pass separable gaussian with reflect padding, bicubic align-corners)
+    t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    h, w = t.shape[-2:]
+    factors = (h / size[0], w / size[1])
+    sigmas = (max((factors[0] - 1) / 2, 0.001), max((factors[1] - 1) / 2, 0.001))
+    ks = [int(max(4 * s, 3)) for s in sigmas]
+    ks = [k + 1 if k % 2 == 0 else k for k in ks]
+
+    def g1d(n, sigma):
+        xs = torch.arange(n, dtype=torch.float32) - n // 2
+        g = torch.exp(-xs**2 / (2 * sigma**2))
+        return g / g.sum()
+
+    kx = g1d(ks[1], sigmas[1])
+    ky = g1d(ks[0], sigmas[0])
+    c = t.shape[1]
+    tx = TF.pad(t, (ks[1] // 2, ks[1] // 2, 0, 0), mode="reflect")
+    tx = TF.conv2d(tx, kx.view(1, 1, 1, -1).expand(c, 1, 1, -1), groups=c)
+    ty = TF.pad(tx, (0, 0, ks[0] // 2, ks[0] // 2), mode="reflect")
+    ty = TF.conv2d(ty, ky.view(1, 1, -1, 1).expand(c, 1, -1, 1), groups=c)
+    want = TF.interpolate(ty, size=size, mode="bicubic", align_corners=True)
+
+    got = antialiased_resize(jnp.asarray(img), size)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want.numpy(), rtol=2e-4, atol=2e-4)
