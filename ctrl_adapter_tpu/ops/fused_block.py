@@ -118,11 +118,15 @@ def _tiles(m: int, c: int, inner: int, itemsize: int):
         tm //= 2
     if m % tm:
         return None
-    # col tile over the 4C inner width; 3 weight blocks of TN*C must fit
-    tn = inner
-    while tn > 128 and (3 * tn * c * itemsize > 4 * 1024 * 1024 or inner % tn):
-        tn //= 2
-    if inner % tn:
+    # col tile over the 4C inner width: must divide inner, be a multiple of 128
+    # (Mosaic lane constraint on weight blocks), and keep 3 streamed weight
+    # blocks of TN*C within budget
+    tn = None
+    for cand in range(inner, 127, -128):
+        if inner % cand == 0 and 3 * cand * c * itemsize <= 4 * 1024 * 1024:
+            tn = cand
+            break
+    if tn is None:
         return None
     # fp32 acc (TM, C) + h (TM, TN) + x/out blocks
     if tm * c * 4 + tm * tn * 4 + tm * c * 2 * itemsize > _ACC_VMEM_BUDGET:
@@ -198,7 +202,10 @@ def ln_ff_residual(
     inner = w2.shape[0]
     itemsize = jnp.dtype(x.dtype).itemsize
     tiles = _tiles(m, c, inner, itemsize)
-    use = use_pallas if use_pallas is not None else (_on_tpu() and tiles is not None)
+    # Mosaic cannot lower erf/erfc (exact gelu); production bf16 runs the tanh
+    # form, fp32 exact-gelu calls take the XLA path.
+    use = use_pallas if use_pallas is not None else (
+        _on_tpu() and tiles is not None and approximate)
     if use and tiles is not None:
         x2 = x.reshape(m, c)
         out = _pallas_ln_ff_residual(
