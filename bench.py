@@ -80,10 +80,11 @@ def kernel_numerics_selfcheck():
         x, lns, lnb = mk(m, c) * 0.5, mk(c), mk(c) * 0.1
         wg, bg = mk(c, 2 * inner) * 0.05, mk(2 * inner) * 0.1
         w2, b2 = mk(inner, c) * 0.05, mk(c) * 0.1
+        # tanh-gelu mode: the only mode the kernel dispatches (Mosaic lacks erf)
         got = np.asarray(jax.jit(lambda *a: ln_ff_residual(
-            *a, 1e-5, False, True, None, True))(x, lns, lnb, wg, bg, w2, b2))
+            *a, 1e-5, True, True, None, True))(x, lns, lnb, wg, bg, w2, b2))
         want = np.asarray(jax.jit(lambda *a: _xla_ln_ff_residual(
-            *a, 1e-5, False, True, None))(x, lns, lnb, wg, bg, w2, b2))
+            *a, 1e-5, True, True, None))(x, lns, lnb, wg, bg, w2, b2))
         err = np.abs(got - want).max()
         rel = err / max(np.abs(want).max(), 1e-6)
         assert np.isfinite(got).all() and rel < 2e-2, (
