@@ -45,7 +45,12 @@ _ACC_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
-    if os.environ.get("CTRL_ADAPTER_NO_FUSED_BLOCK") == "1":
+    # OPT-IN (CTRL_ADAPTER_FUSED_BLOCK=1): measured on the full SVD denoise step
+    # (v5e r2): all-width fusion 586 ms/step, C=320-only 573 ms/step vs 563 ms
+    # unfused — the pallas_call boundary (lost XLA overlap with neighboring ops)
+    # outweighs the intra-block HBM saving even at whole-sub-block granularity,
+    # at every width. Kept for programs where the boundary cost doesn't apply.
+    if os.environ.get("CTRL_ADAPTER_FUSED_BLOCK") != "1":
         return False
     from .backend import is_tpu_backend
 
@@ -203,9 +208,13 @@ def ln_ff_residual(
     itemsize = jnp.dtype(x.dtype).itemsize
     tiles = _tiles(m, c, inner, itemsize)
     # Mosaic cannot lower erf/erfc (exact gelu); production bf16 runs the tanh
-    # form, fp32 exact-gelu calls take the XLA path.
+    # form, fp32 exact-gelu calls take the XLA path. Width gate: measured on the
+    # full SVD denoise step (v5e), fusing every width was a net -4% (pallas_call
+    # boundaries beat the saved HBM traffic at 640/1280 where XLA's narrow-K
+    # matmuls already run ~100 TF/s); only the 320-wide level-0 blocks — where
+    # the XLA chain bottoms out — stay on the kernel.
     use = use_pallas if use_pallas is not None else (
-        _on_tpu() and tiles is not None and approximate)
+        _on_tpu() and tiles is not None and approximate and c <= 320 and m >= 4096)
     if use and tiles is not None:
         x2 = x.reshape(m, c)
         out = _pallas_ln_ff_residual(
