@@ -98,12 +98,15 @@ class _DenseParams(nn.Module):
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, in_features: int):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (in_features, self.features), self.param_dtype)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return kernel, bias
@@ -166,6 +169,26 @@ class _LNParams(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,),
                           self.param_dtype)
         return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Attention-identical params (to_q/to_k/to_v/to_out_0) without the
+    compute — same names and inits as ``Attention``."""
+
+    query_dim: int
+    inner: int
+    kv_dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        dp = lambda feats, name, bias: _DenseParams(  # noqa: E731
+            feats, name=name, param_dtype=self.param_dtype, use_bias=bias)
+        wq, _ = dp(self.inner, "to_q", False)(self.query_dim)
+        wk, _ = dp(self.inner, "to_k", False)(self.kv_dim)
+        wv, _ = dp(self.inner, "to_v", False)(self.kv_dim)
+        wo, bo = dp(self.query_dim, "to_out_0", True)(self.inner)
+        return wq, wk, wv, wo, bo
 
 
 class _GEGLUParams(nn.Module):
@@ -290,6 +313,68 @@ class TemporalBasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
+    def _fused_kernel_call(
+        self, hidden_states, num_frames, encoder_hidden_states
+    ) -> jnp.ndarray:
+        """Whole-block Pallas path (ops/fused_temporal.py): consumes the native
+        (b*f, s, c) layout — the two (b*f,s,c)<->(b*s,f,c) HBM transposes and
+        every intermediate round trip disappear. Creates the exact same param
+        tree as the XLA path (including the dead norm2/to_q/to_k of single-key
+        cross-attention) so checkpoints convert unchanged."""
+        from ..ops import fused_temporal as ft
+
+        tmid = self.time_mix_inner_dim
+        batch_frames, seq_length, channels = hidden_states.shape
+        batch_size = batch_frames // num_frames
+        dtype = self.dtype
+        has_cross = self.cross_attention_dim is not None
+
+        p = {}
+        p["lnin_s"], p["lnin_b"] = _LNParams(
+            name="norm_in", param_dtype=self.param_dtype)(channels)
+        kg, bg, k2, b2 = _FFParams(
+            tmid, name="ff_in", param_dtype=self.param_dtype)(channels)
+        p["ffin_wg"], p["ffin_bg"] = kg.astype(dtype), bg.astype(dtype)
+        p["ffin_w2"], p["ffin_b2"] = k2.astype(dtype), b2.astype(dtype)
+
+        inner = self.num_attention_heads * self.attention_head_dim
+        p["ln1_s"], p["ln1_b"] = _LNParams(
+            name="norm1", param_dtype=self.param_dtype)(tmid)
+        wq, wk, wv, wo, bo = _AttnParams(
+            tmid, inner, tmid, name="attn1", param_dtype=self.param_dtype)()
+        p["wq"], p["wk"], p["wv"] = (w.astype(dtype) for w in (wq, wk, wv))
+        p["wo"], p["bo"] = wo.astype(dtype), bo.astype(dtype)
+
+        cross_bias = None
+        if has_cross:
+            # single-key cross-attention == to_out(to_v(ctx)) broadcast over
+            # frames; norm2/to_q/to_k params exist but are dead (the XLA path
+            # DCEs the identical computation).
+            _LNParams(name="norm2", param_dtype=self.param_dtype)(tmid)
+            _, _, wv2, wo2, bo2 = _AttnParams(
+                tmid, inner, self.cross_attention_dim, name="attn2",
+                param_dtype=self.param_dtype)()
+            ctx = encoder_hidden_states[:, 0].astype(dtype)  # (b*s, d)
+            v = ctx @ wv2.astype(dtype)
+            bias_rows = v @ wo2.astype(dtype) + bo2.astype(dtype)
+            cross_bias = bias_rows.reshape(batch_size, seq_length, tmid)
+
+        p["ln3_s"], p["ln3_b"] = _LNParams(
+            name="norm3", param_dtype=self.param_dtype)(tmid)
+        kg, bg, k2, b2 = _FFParams(
+            tmid, name="ff", param_dtype=self.param_dtype)(tmid)
+        p["ff_wg"], p["ff_bg"] = kg.astype(dtype), bg.astype(dtype)
+        p["ff_w2"], p["ff_b2"] = k2.astype(dtype), b2.astype(dtype)
+
+        approx = dtype == jnp.bfloat16 and os.environ.get(
+            "CTRL_ADAPTER_EXACT_GELU") != "1"
+        cfg_tuple = (("ffin", "attn", "ff"), True, has_cross,
+                     self.num_attention_heads, self.attention_head_dim,
+                     1e-5, approx)
+        x4 = hidden_states.reshape(batch_size, num_frames, seq_length, channels)
+        out = ft.temporal_block(x4, cross_bias, p, cfg_tuple, None)
+        return out.reshape(batch_frames, seq_length, channels)
+
     @nn.compact
     def __call__(
         self,
@@ -300,6 +385,27 @@ class TemporalBasicTransformerBlock(nn.Module):
         is_res = self.dim == self.time_mix_inner_dim
         batch_frames, seq_length, channels = hidden_states.shape
         batch_size = batch_frames // num_frames
+
+        from ..ops import fused_temporal as ft
+
+        inner = self.num_attention_heads * self.attention_head_dim
+        ctx = encoder_hidden_states
+        ctx_ok = (self.cross_attention_dim is None and ctx is None) or (
+            self.cross_attention_dim is not None
+            and ctx is not None
+            and ctx.ndim == 3
+            and ctx.shape[1] == 1
+            and ctx.shape[0] == batch_size * seq_length
+        )
+        if (
+            is_res
+            and channels == self.dim == self.time_mix_inner_dim
+            and ctx_ok
+            and ft.eligible(batch_size, num_frames, seq_length,
+                            self.time_mix_inner_dim, inner,
+                            4 * self.time_mix_inner_dim, self.dtype)
+        ):
+            return self._fused_kernel_call(hidden_states, num_frames, ctx)
 
         # (b*f, s, c) -> (b*s, f, c): frames become the attention sequence.
         hidden_states = hidden_states.reshape(batch_size, num_frames, seq_length, channels)
