@@ -90,6 +90,42 @@ def kernel_numerics_selfcheck():
         assert np.isfinite(got).all() and rel < 2e-2, (
             f"fused LN-FF diverges from fallback on this chip: "
             f"m={m} c={c} maxdiff={err:.3e} rel={rel:.3e}")
+    from ctrl_adapter_tpu.ops import fused_temporal as ft
+
+    # fused temporal block: full mode (width 320) + attention-only (hybrid)
+    for c, ia, parts in ((320, 320, ("ffin", "attn", "ff")),
+                         (512, 320, ("attn",)),
+                         (640, 640, ("attn",))):
+        b, f, s, nh, hd = 2, 14, 128, ia // 64, 64
+        mk = lambda *sh: jnp.asarray(  # noqa: E731
+            rng.standard_normal(sh).astype(np.float32) * 0.05, jnp.bfloat16)
+        p = {"lnin_s": mk(c).astype(jnp.float32) + 1,
+             "lnin_b": mk(c).astype(jnp.float32),
+             "ffin_wg": mk(c, 8 * c), "ffin_bg": mk(8 * c),
+             "ffin_w2": mk(4 * c, c), "ffin_b2": mk(c),
+             "ln1_s": mk(c).astype(jnp.float32) + 1,
+             "ln1_b": mk(c).astype(jnp.float32),
+             "wq": mk(c, ia), "wk": mk(c, ia), "wv": mk(c, ia),
+             "wo": mk(ia, c), "bo": mk(c),
+             "ln3_s": mk(c).astype(jnp.float32) + 1,
+             "ln3_b": mk(c).astype(jnp.float32),
+             "ff_wg": mk(c, 8 * c), "ff_bg": mk(8 * c),
+             "ff_w2": mk(4 * c, c), "ff_b2": mk(c)}
+        x = mk(b, f, s, c) * 10
+        cb = mk(b, s, c)
+        cfg = (parts, True, True, nh, hd, 1e-5, True)
+        got = np.asarray(jax.jit(
+            lambda xx, cc: ft.temporal_block(xx, cc, p, cfg, True))(x, cb),
+            np.float32)
+        want = np.asarray(jax.jit(
+            lambda xx, cc: ft.temporal_block(xx, cc, p, cfg, False))(x, cb),
+            np.float32)
+        err = np.abs(got - want).max()
+        rel = err / max(np.abs(want).max(), 1e-6)
+        assert np.isfinite(got).all() and rel < 2e-2, (
+            f"fused temporal block diverges from fallback on this chip: "
+            f"c={c} parts={parts} maxdiff={err:.3e} rel={rel:.3e}")
+
     print("# kernel numerics self-check passed", file=sys.stderr)
 
 

@@ -314,7 +314,7 @@ class TemporalBasicTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def _fused_kernel_call(
-        self, hidden_states, num_frames, encoder_hidden_states
+        self, hidden_states, num_frames, encoder_hidden_states, mode
     ) -> jnp.ndarray:
         """Whole-block Pallas path (ops/fused_temporal.py): consumes the native
         (b*f, s, c) layout — the two (b*f,s,c)<->(b*s,f,c) HBM transposes and
@@ -368,11 +368,23 @@ class TemporalBasicTransformerBlock(nn.Module):
 
         approx = dtype == jnp.bfloat16 and os.environ.get(
             "CTRL_ADAPTER_EXACT_GELU") != "1"
-        cfg_tuple = (("ffin", "attn", "ff"), True, has_cross,
-                     self.num_attention_heads, self.attention_head_dim,
-                     1e-5, approx)
+        heads_hd = (self.num_attention_heads, self.attention_head_dim)
         x4 = hidden_states.reshape(batch_size, num_frames, seq_length, channels)
-        out = ft.temporal_block(x4, cross_bias, p, cfg_tuple, None)
+        if mode == "full":
+            cfg_tuple = (("ffin", "attn", "ff"), True, has_cross,
+                         *heads_hd, 1e-5, approx)
+            out = ft.temporal_block(x4, cross_bias, p, cfg_tuple, None)
+        else:
+            # hybrid: attention sub-block as the kernel; GEGLU FFs stay XLA but
+            # on the transpose-free (b, f, s, c) layout (rowwise ops).
+            base = dict(is_res=True, has_cross=False, heads=heads_hd[0],
+                        head_dim=heads_hd[1], eps=1e-5, approximate=approx)
+            cur = ft._xla_temporal_block(
+                x4, None, p, dict(base, parts=("ffin",)))
+            cfg_attn = (("attn",), True, has_cross, *heads_hd, 1e-5, approx)
+            cur = ft.temporal_block(cur, cross_bias, p, cfg_attn, None)
+            out = ft._xla_temporal_block(
+                cur, None, p, dict(base, parts=("ff",)))
         return out.reshape(batch_frames, seq_length, channels)
 
     @nn.compact
@@ -397,15 +409,16 @@ class TemporalBasicTransformerBlock(nn.Module):
             and ctx.shape[1] == 1
             and ctx.shape[0] == batch_size * seq_length
         )
+        mode = ft.dispatch_mode(
+            batch_size, num_frames, seq_length, self.time_mix_inner_dim,
+            inner, 4 * self.time_mix_inner_dim, self.dtype)
         if (
             is_res
             and channels == self.dim == self.time_mix_inner_dim
             and ctx_ok
-            and ft.eligible(batch_size, num_frames, seq_length,
-                            self.time_mix_inner_dim, inner,
-                            4 * self.time_mix_inner_dim, self.dtype)
+            and mode is not None
         ):
-            return self._fused_kernel_call(hidden_states, num_frames, ctx)
+            return self._fused_kernel_call(hidden_states, num_frames, ctx, mode)
 
         # (b*f, s, c) -> (b*s, f, c): frames become the attention sequence.
         hidden_states = hidden_states.reshape(batch_size, num_frames, seq_length, channels)

@@ -227,21 +227,27 @@ def _plan(parts, c, ia, iff, s, f, itemsize):
         cur_bytes += sizes[part]
     if cur:
         groups.append(tuple(cur))
-    max_group_bytes = max(sum(sizes[p] for p in g) for g in groups)
-    # activation estimate per row: fp32 LN copy + 2x geglu halves + qkv ~ 14*c
-    ts = None
-    has_attn = "attn" in parts
+
+    def act_bytes(group, cand):
+        # per-row fp32 LN copy + part-specific intermediates
+        a = f * cand * 4 * c
+        if "attn" in group:
+            # q/k/v/out rows + (f*ts, f*ts) mask + fp32 logits (+copies)
+            a += f * cand * 6 * max(c, ia) * itemsize
+            a += 10 * (f * cand) ** 2
+        if "ffin" in group or "ff" in group:
+            a += f * cand * 4 * iff * itemsize
+        return a
+
     force_ts = int(os.environ.get("CTRL_ADAPTER_FT_TS", "0"))
     if force_ts and s % force_ts == 0:
         return groups, force_ts
+    ts = None
     for cand in (64, 32, 16, 8):
         if s % cand:
             continue
-        act = f * cand * (4 * c + 6 * max(c, ia) + 4 * iff) * itemsize
-        if has_attn:
-            # masked dense attention: (f*ts, f*ts) mask + fp32 logits (+copies)
-            act += 10 * (f * cand) ** 2
-        if max_group_bytes + act <= _VMEM_BUDGET:
+        worst = max(sum(sizes[p] for p in g) + act_bytes(g, cand) for g in groups)
+        if worst <= _VMEM_BUDGET:
             ts = cand
             break
     if ts is None:
@@ -310,15 +316,37 @@ _CFG_FIELDS = ("parts", "is_res", "has_cross", "heads", "head_dim", "eps",
                "approximate")
 
 
-def eligible(b, f, s, c, ia, iff, dtype) -> bool:
-    """Kernel dispatch check for a (b, f, s, c) temporal block with attention
-    inner dim ia and FF inner dim iff."""
-    if not _on_tpu():
-        return False
+def dispatch_mode(b, f, s, c, ia, iff, dtype) -> Optional[str]:
+    """How to run a (b, f, s, c) temporal block with attention inner dim ia
+    and FF inner dim iff:
+
+    - "full":   the whole block fits one pallas_call (measured 1.66x vs XLA at
+      width 320) — multi-call splits measured a net LOSS (0.83x at width 512),
+      so they are never dispatched;
+    - "hybrid": attention sub-block (LN1 -> QKV -> frame attn -> out -> +res
+      -> +cross bias) as one kernel, GEGLU FFs stay XLA on the transpose-free
+      (b, f, s, c) layout;
+    - None:     XLA path.
+    """
+    mode_env = os.environ.get("CTRL_ADAPTER_FT_MODE", "auto")
+    if not _on_tpu() or mode_env == "off":
+        return None
     if dtype != jnp.bfloat16 or f > 32:
-        return False
+        return None
     itemsize = jnp.dtype(dtype).itemsize
-    return _plan(("ffin", "attn", "ff"), c, ia, iff, s, f, itemsize) is not None
+    if mode_env in ("full", "hybrid"):
+        parts = ("ffin", "attn", "ff") if mode_env == "full" else ("attn",)
+        return mode_env if _plan(parts, c, ia, iff, s, f, itemsize) else None
+    full = _plan(("ffin", "attn", "ff"), c, ia, iff, s, f, itemsize)
+    if full is not None and len(full[0]) == 1:
+        return "full"
+    if _plan(("attn",), c, ia, iff, s, f, itemsize) is not None:
+        return "hybrid"
+    return None
+
+
+def eligible(b, f, s, c, ia, iff, dtype) -> bool:
+    return dispatch_mode(b, f, s, c, ia, iff, dtype) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -331,8 +359,12 @@ def temporal_block(x, cross_bias, params, cfg_tuple, force_pallas=None):
     cfg = dict(zip(_CFG_FIELDS, cfg_tuple))
     b, f, s, c = x.shape
     ia = cfg["heads"] * cfg["head_dim"]
-    iff = params["ff_w2"].shape[0] if "ff" in cfg["parts"] else (
-        params["ffin_w2"].shape[0])
+    if "ff_w2" in params:
+        iff = params["ff_w2"].shape[0]
+    elif "ffin_w2" in params:
+        iff = params["ffin_w2"].shape[0]
+    else:
+        iff = 4 * c
     itemsize = jnp.dtype(x.dtype).itemsize
     plan = _plan(cfg["parts"], c, ia, iff, s, f, itemsize)
     use = force_pallas if force_pallas is not None else (_on_tpu() and plan is not None)

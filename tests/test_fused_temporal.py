@@ -105,7 +105,7 @@ def test_module_dispatch_unchanged_params(monkeypatch):
     the XLA path, so checkpoints convert unchanged."""
     b, f, s, c, nh, hd = 1, 4, 16, 64, 1, 64
     block, variables, x, ctx = _module_and_params(b, f, s, c, nh, hd, 96)
-    monkeypatch.setattr(ft, "eligible", lambda *a, **k: True)
+    monkeypatch.setattr(ft, "dispatch_mode", lambda *a, **k: "full")
     kernel_vars = block.init(jax.random.PRNGKey(0), x, f,
                              encoder_hidden_states=ctx)
     want = jax.tree.map(jnp.shape, variables)
@@ -153,4 +153,17 @@ def test_plan_covers_production_widths():
 
 
 def test_eligibility_off_tpu():
-    assert not ft.eligible(2, 14, 4096, 320, 320, 1280, jnp.bfloat16)
+    assert ft.dispatch_mode(2, 14, 4096, 320, 320, 1280, jnp.bfloat16) is None
+
+
+def test_hybrid_path_matches_module(monkeypatch):
+    """Hybrid mode (attention kernel + XLA FFs on the (b,f,s,c) layout) must
+    agree with the XLA module path."""
+    b, f, s, c, nh, hd = 2, 6, 32, 128, 2, 64
+    block, variables, x, ctx = _module_and_params(b, f, s, c, nh, hd, 96,
+                                                  seed=7)
+    want = block.apply(variables, x, f, encoder_hidden_states=ctx)
+    monkeypatch.setattr(ft, "dispatch_mode", lambda *a, **k: "hybrid")
+    got = block.apply(variables, x, f, encoder_hidden_states=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
