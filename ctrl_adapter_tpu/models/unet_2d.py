@@ -64,6 +64,11 @@ class UNet2DConfig:
     addition_embed_type: Optional[str] = None  # None | "text_time"
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: Optional[int] = None
+    # LCM-style guidance-embedding conditioning (diffusers ``time_cond_proj_dim``):
+    # when set, ``timestep_cond`` (b, time_cond_proj_dim) is projected by the
+    # bias-free ``time_embedding.cond_proj`` and added to the sinusoidal t-emb
+    # before the MLP (reference `sdxl_controlnet_adapter_pipeline.py:1250-1256`).
+    time_cond_proj_dim: Optional[int] = None
 
 
 SD15_CONFIG = UNet2DConfig()
@@ -96,6 +101,7 @@ class UNet2DConditionModel(nn.Module):
         added_cond_kwargs: Optional[dict] = None,  # {"text_embeds", "time_ids"} for SDXL
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        timestep_cond: Optional[jnp.ndarray] = None,  # (n, time_cond_proj_dim)
     ) -> jnp.ndarray:
         cfg = self.config
         time_embed_dim = cfg.block_out_channels[0] * 4
@@ -109,8 +115,15 @@ class UNet2DConditionModel(nn.Module):
             cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift, name="time_proj"
         )(timesteps)
         emb = TimestepEmbedding(
-            time_embed_dim, name="time_embedding", dtype=self.dtype, param_dtype=self.param_dtype
-        )(t_emb.astype(self.dtype))
+            time_embed_dim,
+            use_cond_proj=cfg.time_cond_proj_dim is not None,
+            name="time_embedding",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(
+            t_emb.astype(self.dtype),
+            condition=None if timestep_cond is None else timestep_cond.astype(self.dtype),
+        )
 
         if cfg.addition_embed_type == "text_time":
             assert added_cond_kwargs is not None, "SDXL requires text_embeds/time_ids"

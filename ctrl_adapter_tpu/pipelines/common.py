@@ -63,6 +63,22 @@ def classifier_free_guidance_rescaled(
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * guided
 
 
+def guidance_scale_embedding(w: jnp.ndarray, embedding_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """VDM-style sin/cos embedding of ``w`` (LCM guidance conditioning).
+
+    Mirrors the reference's ``get_guidance_scale_embedding``
+    (`sdxl_controlnet_adapter_pipeline.py:764-790`): w scaled by 1000, half-dim
+    log-spaced frequencies, [sin, cos] concat, zero-pad when odd."""
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half_dim = embedding_dim // 2
+    freq = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * (-jnp.log(10000.0) / (half_dim - 1)))
+    emb = w[:, None] * freq[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
 def sdxl_add_time_ids(
     original_size: Tuple[int, int],
     crops_coords_top_left: Tuple[int, int],

@@ -33,6 +33,7 @@ from ..schedulers.euler_discrete import EulerDiscreteConfig, EulerDiscreteSchedu
 from .common import (
     classifier_free_guidance_rescaled,
     control_window,
+    guidance_scale_embedding,
     sdxl_add_time_ids,
 )
 
@@ -55,12 +56,12 @@ class SDXLControlNetAdapterPipeline:
         if self.scheduler is None:
             self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
 
-    @partial(jax.jit, static_argnums=(0, 8, 9, 12, 13, 14, 16))
+    @partial(jax.jit, static_argnums=(0, 8, 9, 12, 13, 14, 16, 18))
     def _sample(
         self,
         params: Dict[str, Any],
         latents: jnp.ndarray,  # (b, h/8, w/8, 4), already scaled by init_noise_sigma
-        prompt_embeds: jnp.ndarray,  # (2b, 77, 2048) [neg; pos]
+        prompt_embeds: jnp.ndarray,  # (2b, 77, 2048) [neg; pos] (b when not do_cfg)
         add_text_embeds: jnp.ndarray,  # (2b, 1280)
         add_time_ids: jnp.ndarray,  # (2b, 6)
         controlnet_prompt_embeds: jnp.ndarray,  # (2b, 77, 768)
@@ -74,29 +75,35 @@ class SDXLControlNetAdapterPipeline:
         control_latent_size: int = 64,
         guidance_rescale: jnp.ndarray = 0.0,
         guess_mode: bool = False,
+        timestep_cond: Optional[jnp.ndarray] = None,  # (b, time_cond_proj_dim)
+        do_cfg: bool = True,
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         added = {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
 
+        def model_input(lat, i):
+            lmi = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+            return EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+
         def unet_step(lat, i, residuals, mid_residual):
             t = state.timesteps[i]
-            lmi = jnp.concatenate([lat, lat], axis=0)
-            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            lmi = model_input(lat, i)
             tb = jnp.broadcast_to(t, (lmi.shape[0],))
             noise_pred = self.unet.apply(
                 params["unet"], lmi, tb, prompt_embeds, added,
                 down_block_additional_residuals=residuals,
                 mid_block_additional_residual=mid_residual,
+                timestep_cond=timestep_cond,
             )
-            noise_pred = classifier_free_guidance_rescaled(
-                noise_pred, guidance_scale, guidance_rescale
-            )
+            if do_cfg:
+                noise_pred = classifier_free_guidance_rescaled(
+                    noise_pred, guidance_scale, guidance_rescale
+                )
             return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
 
         def controlled_body(lat, i):
             t = state.timesteps[i]
-            lmi = jnp.concatenate([lat, lat], axis=0)
-            lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
+            lmi = model_input(lat, i)
             # 64x64 latent + 512 control image bridge (reference `:1305-1312`);
             # size parameterized (s, 8s) so tests exercise the contract at small scale.
             s = control_latent_size
@@ -161,17 +168,32 @@ class SDXLControlNetAdapterPipeline:
     ):
         """Host-level wrapper: prepares CFG batches/latents, runs the jitted phases."""
         batch = prompt_embeds.shape[0] // 2
+        # LCM semantics: a guidance-embedding UNet replaces CFG entirely
+        # (reference `sdxl_...py:805-809`); the positive halves drive a
+        # single-batch program and timestep_cond carries guidance_scale - 1.
+        time_cond_dim = self.unet.config.time_cond_proj_dim
+        do_cfg = guidance_scale > 1.0 and time_cond_dim is None
+        timestep_cond = None
+        if time_cond_dim is not None:
+            timestep_cond = guidance_scale_embedding(
+                jnp.full((batch,), guidance_scale - 1.0), time_cond_dim
+            )
+        if not do_cfg:
+            prompt_embeds = prompt_embeds[batch:]
+            add_text_embeds = add_text_embeds[batch:]
+            controlnet_prompt_embeds = controlnet_prompt_embeds[batch:]
+        model_batch = batch * 2 if do_cfg else batch
         state = self.scheduler.set_timesteps(num_inference_steps)
         if latents is None:
             latents = jax.random.normal(rng, (batch, height // 8, width // 8, 4), jnp.float32)
         latents = latents * state.init_noise_sigma
 
         add_time_ids = sdxl_add_time_ids(
-            original_size or (height, width), (0, 0), (height, width), batch * 2,
+            original_size or (height, width), (0, 0), (height, width), model_batch,
             dtype=prompt_embeds.dtype,
         )
-        if control_image.shape[0] == batch:
-            control_image = jnp.concatenate([control_image, control_image], axis=0)
+        if control_image.shape[0] != model_batch:
+            control_image = jnp.concatenate([control_image[:batch]] * (model_batch // batch), axis=0)
 
         window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
         latents = self._sample(
@@ -184,6 +206,8 @@ class SDXLControlNetAdapterPipeline:
             # guess_mode: logspace 0.1->1.0 residual ramp in the ControlNet heads
             # (reference `sdxl_...py:1329`, `controlnet/controlnet.py:860-865`)
             bool(guess_mode),
+            timestep_cond,
+            bool(do_cfg),
         )
         image = self._decode(params["vae"], latents, vae_scaling_factor)
         if output_type == "latent":

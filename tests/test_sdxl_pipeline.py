@@ -99,3 +99,117 @@ def test_sdxl_pipeline_end_to_end():
     assert image.shape == (b, latent_hw * 8, latent_hw * 8, 3)
     arr = np.asarray(image)
     assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_guidance_scale_embedding_matches_torch_formula():
+    import torch
+
+    from ctrl_adapter_tpu.pipelines.common import guidance_scale_embedding
+
+    w = torch.tensor([6.5, 0.0, 1.0])
+    # torch mirror of the reference LCM helper (`sdxl_...py:764-790`)
+    embedding_dim = 12
+    tw = w * 1000.0
+    half_dim = embedding_dim // 2
+    emb = torch.log(torch.tensor(10000.0)) / (half_dim - 1)
+    emb = torch.exp(torch.arange(half_dim, dtype=torch.float32) * -emb)
+    emb = tw[:, None] * emb[None, :]
+    expected = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1).numpy()
+
+    got = np.asarray(guidance_scale_embedding(jnp.asarray(w.numpy()), embedding_dim))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # odd dim zero-pads
+    assert guidance_scale_embedding(jnp.ones((2,)), 7).shape == (2, 7)
+
+
+@pytest.mark.slow
+def test_sdxl_pipeline_lcm_guidance_embedding():
+    """time_cond_proj_dim set => CFG off (single-batch program), timestep_cond
+    drives time_embedding.cond_proj (reference `sdxl_...py:805-809,1250-1256,1360`)."""
+    unet_cfg = UNet2DConfig(
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        block_out_channels=(32, 32),
+        transformer_layers_per_block=(1, 1),
+        num_attention_heads=(2, 2),
+        cross_attention_dim=32,
+        use_linear_projection=True,
+        norm_num_groups=16,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 48,
+        time_cond_proj_dim=8,
+    )
+    cnet_cfg = ControlNetConfig(
+        block_out_channels=(32, 32, 32, 32),
+        num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24,
+        conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16,
+    )
+    unet = UNet2DConditionModel(config=unet_cfg)
+    cnet = ControlNetModel(config=cnet_cfg)
+    adapter = ControlNetAdapter(
+        backbone_model_name="sdxl", num_blocks=1, num_adapters_per_location=1,
+        cross_attention_dim=32, adapter_locations=("A",),
+        add_temporal_resnet=False, add_temporal_transformer=False,
+        custom_down_block_channels=(32, 32, 32, 32, 32, 32, 32, 32, 32),
+        attention_head_dim=16,
+    )
+    vae = AutoencoderKL(config=VAEConfig(block_out_channels=(16, 16, 16, 16),
+                                         norm_num_groups=8, layers_per_block=1))
+
+    b = 1
+    prompt_embeds = jnp.ones((2 * b, 7, 32)) * 0.1
+    add_text_embeds = jnp.ones((2 * b, 16)) * 0.1
+    cn_prompt = jnp.ones((2 * b, 7, 24)) * 0.1
+    control_image = jnp.ones((b, 64, 64, 3)) * 0.5
+    latent_hw = 16
+
+    pipeline = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter, vae=vae)
+
+    # init with single-batch shapes + timestep_cond so cond_proj params exist
+    sample = jnp.ones((b, latent_hw, latent_hw, 4))
+    t = jnp.zeros((b,))
+    pooled8 = jnp.ones((b, 8, 8, 4))
+    params = {
+        "unet": fake_init(unet, sample, t, prompt_embeds[:b],
+                          {"text_embeds": add_text_embeds[:b], "time_ids": jnp.ones((b, 6))},
+                          timestep_cond=jnp.zeros((b, 8))),
+        "controlnet": fake_init(cnet, pooled8, t, cn_prompt[:b], jnp.ones((b, 64, 64, 3))),
+        "vae": fake_init(vae, jnp.ones((b, 64, 64, 3))),
+    }
+    assert "cond_proj" in params["unet"]["params"]["time_embedding"]
+    downs_shapes, _ = jax.eval_shape(
+        lambda: cnet.apply(params["controlnet"], pooled8, t, cn_prompt[:b], jnp.ones((b, 64, 64, 3)))
+    )
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_shapes], None, 1, t, prompt_embeds[:b]
+    )
+
+    image = pipeline.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, height=latent_hw * 8, width=latent_hw * 8,
+        num_inference_steps=4, guidance_scale=7.5, control_guidance_end=0.5,
+        control_latent_size=8,
+    )
+    assert image.shape == (b, latent_hw * 8, latent_hw * 8, 3)
+    arr = np.asarray(image)
+    assert np.isfinite(arr).all()
+
+    # the guidance embedding must influence the denoised latents (cond_proj is
+    # live); compare pre-VAE latents — the fake 0.02-scale VAE decoder contracts
+    # differences below float32 resolution.
+    lat1 = pipeline.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, height=latent_hw * 8, width=latent_hw * 8,
+        num_inference_steps=4, guidance_scale=7.5, control_guidance_end=0.5,
+        control_latent_size=8, output_type="latent",
+    )
+    lat2 = pipeline.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, height=latent_hw * 8, width=latent_hw * 8,
+        num_inference_steps=4, guidance_scale=2.0, control_guidance_end=0.5,
+        control_latent_size=8, output_type="latent",
+    )
+    assert np.abs(np.asarray(lat2) - np.asarray(lat1)).max() > 1e-6
