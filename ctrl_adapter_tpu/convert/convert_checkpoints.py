@@ -129,3 +129,91 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sdxl_cross_attention_paths(unet_config) -> list:
+    """Flax paths of every cross-attention (attn2) in a UNet2DConfig, in the
+    order diffusers' ``unet.attn_processors`` traverses them — down_blocks, then
+    up_blocks, then mid_block (torch ``named_children`` insertion order), which
+    is the order ``_load_ip_adapter_weights`` assigns ``ip_adapter.{1,3,5...}``
+    keys (key_id starts at 1, += 2 per cross-attention)."""
+    cfg = unet_config
+    paths = []
+
+    def transformer(prefix, n_layers):
+        for k in range(n_layers):
+            paths.append(prefix + [f"transformer_blocks_{k}", "attn2"])
+
+    for i, bt in enumerate(cfg.down_block_types):
+        if bt == "CrossAttnDownBlock2D":
+            for j in range(cfg.layers_per_block):
+                transformer([f"down_blocks_{i}", f"attentions_{j}"],
+                            cfg.transformer_layers_per_block[i])
+    n = len(cfg.block_out_channels)
+    for i, bt in enumerate(cfg.up_block_types):
+        if bt == "CrossAttnUpBlock2D":
+            rev_idx = n - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                transformer([f"up_blocks_{i}", f"attentions_{j}"],
+                            cfg.transformer_layers_per_block[rev_idx])
+    transformer(["mid_block", "attentions_0"], cfg.transformer_layers_per_block[-1])
+    return paths
+
+
+def convert_ip_adapter_state_dict(state_dict: Dict[str, np.ndarray], unet_config) -> Dict:
+    """Convert a standard ``ip_adapter.safetensors`` (image_proj.* + ip_adapter.*)
+    into a params overlay for :class:`UNet2DConditionModel`; merge with
+    ``merge_ip_adapter``. Accepts both the raw IP-Adapter key names
+    (``image_proj.proj.weight``) and diffusers' renamed ones
+    (``image_embeds.weight``)."""
+    overlay: Dict = {}
+
+    def put(path, leaf, arr):
+        node = overlay
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+
+    proj_path = ["encoder_hid_proj", "image_projection_layers_0"]
+    for key, value in state_dict.items():
+        if not key.startswith("image_proj."):
+            continue
+        sub = key[len("image_proj."):]
+        name, leaf = sub.rsplit(".", 1)
+        name = {"proj": "image_embeds"}.get(name, name)
+        arr = np.asarray(value)
+        if leaf == "weight" and arr.ndim == 2:
+            put(proj_path + [name], "kernel", arr.T)
+        elif name == "norm" and leaf == "weight":
+            put(proj_path + [name], "scale", arr)
+        else:
+            put(proj_path + [name], "bias", arr)
+
+    paths = sdxl_cross_attention_paths(unet_config)
+    for key, value in state_dict.items():
+        if not key.startswith("ip_adapter."):
+            continue
+        _, key_id, proj, leaf = key.split(".")  # ip_adapter.{id}.to_k_ip.weight
+        idx = (int(key_id) - 1) // 2
+        if idx >= len(paths):
+            raise KeyError(f"ip_adapter key {key} beyond the UNet's {len(paths)} cross-attentions")
+        assert leaf == "weight" and proj in ("to_k_ip", "to_v_ip"), key
+        put(paths[idx] + ["processor", f"{proj}_0"], "kernel", np.asarray(value).T)
+    return overlay
+
+
+def merge_ip_adapter(unet_params: Dict, overlay: Dict) -> Dict:
+    """Deep-merge an IP-Adapter overlay into converted UNet params."""
+    import jax
+
+    tree = dict(unet_params.get("params", unet_params))
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = merge(out[k], v) if isinstance(v, dict) and k in out else (
+                jax.numpy.asarray(v) if not isinstance(v, dict) else merge({}, v))
+        return out
+
+    merged = merge(tree, overlay)
+    return {"params": merged} if "params" in unet_params else merged

@@ -137,7 +137,8 @@ class AdapterSpatioTemporal(nn.Module):
                 param_dtype=self.param_dtype,
             )
         if any_transformer:
-            shared_norm = group_norm(32, 1e-6, "norm", self.dtype, self.param_dtype)
+            shared_norm = group_norm(32, 1e-6, "norm", self.dtype, self.param_dtype,
+                                     use_pallas="prefer")
             shared_proj_in = nn.Dense(
                 inner_dim, name="proj_in", dtype=self.dtype, param_dtype=self.param_dtype
             )
@@ -171,6 +172,7 @@ class AdapterSpatioTemporal(nn.Module):
                     eps=self.eps,
                     use_in_shortcut=True,
                     up=(i == 0 and self.up_sampling_scale > 1),
+                    gn_kernel="prefer",
                     name=f"spatial_resnets_{i}",
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
@@ -189,6 +191,7 @@ class AdapterSpatioTemporal(nn.Module):
                     out_channels=self.out_channels,
                     temb_channels=self.in_channels,
                     eps=self.temporal_eps if self.temporal_eps is not None else self.eps,
+                    gn_kernel="prefer",
                     name=f"temporal_resnets_{i}",
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,

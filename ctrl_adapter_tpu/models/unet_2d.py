@@ -69,6 +69,13 @@ class UNet2DConfig:
     # bias-free ``time_embedding.cond_proj`` and added to the sinusoidal t-emb
     # before the MLP (reference `sdxl_controlnet_adapter_pipeline.py:1250-1256`).
     time_cond_proj_dim: Optional[int] = None
+    # IP-Adapter (diffusers ``encoder_hid_dim_type="ip_image_proj"``): CLIP image
+    # embeddings from ``added_cond_kwargs["image_embeds"]`` are projected to
+    # ``ip_num_image_text_embeds`` context tokens and attended by an extra K/V
+    # branch in every cross-attention (reference `sdxl_...py:1354-1360`).
+    encoder_hid_dim_type: Optional[str] = None  # None | "ip_image_proj"
+    ip_num_image_text_embeds: int = 4
+    ip_scale: float = 1.0
 
 
 SD15_CONFIG = UNet2DConfig()
@@ -140,6 +147,23 @@ class UNet2DConditionModel(nn.Module):
             )(add_embeds.astype(self.dtype))
             emb = emb + aug_emb
 
+        # 1b. IP-Adapter image tokens (diffusers encoder_hid_proj for
+        # encoder_hid_dim_type == "ip_image_proj")
+        ip_hidden_states = None
+        if cfg.encoder_hid_dim_type == "ip_image_proj":
+            assert added_cond_kwargs is not None and "image_embeds" in added_cond_kwargs, (
+                "ip_image_proj requires added_cond_kwargs['image_embeds']"
+            )
+            from ..nn.embeddings import MultiIPAdapterImageProjection
+
+            ip_hidden_states = MultiIPAdapterImageProjection(
+                cross_attention_dim=cfg.cross_attention_dim,
+                num_image_text_embeds=cfg.ip_num_image_text_embeds,
+                name="encoder_hid_proj",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(added_cond_kwargs["image_embeds"].astype(self.dtype))
+
         # 2. conv_in
         sample = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
@@ -170,7 +194,7 @@ class UNet2DConditionModel(nn.Module):
                     name=f"down_blocks_{i}",
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                )(sample, emb, encoder_hidden_states)
+                )(sample, emb, encoder_hidden_states, ip_hidden_states, cfg.ip_scale)
             else:
                 sample, res = DownBlock2D(
                     in_channels=input_channel,
@@ -207,7 +231,7 @@ class UNet2DConditionModel(nn.Module):
             name="mid_block",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(sample, emb, encoder_hidden_states)
+        )(sample, emb, encoder_hidden_states, ip_hidden_states, cfg.ip_scale)
 
         if mid_block_additional_residual is not None:
             sample = sample + jnp.asarray(mid_block_additional_residual).astype(sample.dtype)
@@ -242,7 +266,7 @@ class UNet2DConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                )(sample, res_samples, emb, encoder_hidden_states)
+                )(sample, res_samples, emb, encoder_hidden_states, ip_hidden_states, cfg.ip_scale)
             else:
                 sample = UpBlock2D(
                     in_channels=input_channel,

@@ -41,11 +41,34 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, upcast: bool = False) 
     return dot_product_attention(q, k, v)
 
 
+class _IPProjections(nn.Module):
+    """IP-Adapter key/value projections, named to match diffusers' loaded layout
+    ``...attn2.processor.to_k_ip.0.weight`` -> ``processor/to_k_ip_0/kernel``."""
+
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ip_hidden_states: jnp.ndarray):
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.inner_dim, use_bias=False, name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        return dense("to_k_ip_0")(ip_hidden_states), dense("to_v_ip_0")(ip_hidden_states)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention context.
 
     Mirrors diffusers ``Attention`` numerics: bias-free QKV, biased output proj,
     scale = head_dim ** -0.5 (the default inside dot_product_attention).
+
+    ``ip_hidden_states`` enables the IP-Adapter branch (diffusers
+    ``IPAdapterAttnProcessor``, reached through the reference's
+    ``ip_adapter_image_embeds`` plumbing at `sdxl_...py:1354-1360`): extra
+    bias-free K/V projections over the image tokens, attended with the same
+    queries, added to the text-attention output with ``ip_scale`` before
+    ``to_out``.
     """
 
     query_dim: int
@@ -62,6 +85,8 @@ class Attention(nn.Module):
         self,
         hidden_states: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
     ) -> jnp.ndarray:
         inner_dim = self.heads * self.dim_head
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
@@ -81,6 +106,16 @@ class Attention(nn.Module):
 
         out = _sdpa(q, k, v, upcast=self.upcast_attention).astype(hidden_states.dtype)
         out = out.reshape(b, tq, inner_dim)
+
+        if ip_hidden_states is not None:
+            k_ip, v_ip = _IPProjections(
+                inner_dim, name="processor", dtype=self.dtype, param_dtype=self.param_dtype
+            )(ip_hidden_states)
+            t_ip = k_ip.shape[1]
+            k_ip = k_ip.reshape(b, t_ip, self.heads, self.dim_head)
+            v_ip = v_ip.reshape(b, t_ip, self.heads, self.dim_head)
+            ip_out = _sdpa(q, k_ip, v_ip, upcast=self.upcast_attention).astype(out.dtype)
+            out = out + ip_scale * ip_out.reshape(b, tq, inner_dim)
 
         out = nn.Dense(
             self.query_dim,
@@ -260,6 +295,8 @@ class BasicTransformerBlock(nn.Module):
         self,
         hidden_states: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
     ) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=1e-5, name=name, dtype=self.dtype, param_dtype=self.param_dtype
@@ -282,11 +319,12 @@ class BasicTransformerBlock(nn.Module):
             norm_hidden, ctx
         ) + hidden_states
 
-        # 2. cross-attention.
+        # 2. cross-attention (+ optional IP-Adapter image-token branch).
         if self.cross_attention_dim is not None and not self.only_cross_attention:
             norm_hidden = ln("norm2")(hidden_states)
             hidden_states = attn("attn2", self.cross_attention_dim)(
-                norm_hidden, encoder_hidden_states
+                norm_hidden, encoder_hidden_states,
+                ip_hidden_states=ip_hidden_states, ip_scale=ip_scale,
             ) + hidden_states
 
         # 3. feed-forward: whole LN->GEGLU->proj->+res sub-block as one kernel.

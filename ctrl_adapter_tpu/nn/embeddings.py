@@ -111,6 +111,48 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+class ImageProjection(nn.Module):
+    """diffusers ``ImageProjection``: CLIP image embedding (b, d) -> ``num_image_text_embeds``
+    context tokens (b, n, cross_attention_dim) via Linear + LayerNorm. Torch param
+    layout preserved: ``image_embeds.{weight,bias}``, ``norm.{weight,bias}``."""
+
+    cross_attention_dim: int
+    num_image_text_embeds: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        b = image_embeds.shape[0]
+        x = nn.Dense(
+            self.num_image_text_embeds * self.cross_attention_dim,
+            name="image_embeds", dtype=self.dtype, param_dtype=self.param_dtype,
+        )(image_embeds)
+        x = x.reshape(b, self.num_image_text_embeds, self.cross_attention_dim)
+        return nn.LayerNorm(
+            epsilon=1e-5, name="norm", dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+
+
+class MultiIPAdapterImageProjection(nn.Module):
+    """Wrapper matching diffusers' ``encoder_hid_proj.image_projection_layers.{i}``
+    param nesting (single-adapter: i = 0)."""
+
+    cross_attention_dim: int
+    num_image_text_embeds: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        return ImageProjection(
+            cross_attention_dim=self.cross_attention_dim,
+            num_image_text_embeds=self.num_image_text_embeds,
+            name="image_projection_layers_0",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(image_embeds)
+
+
 class PixArtAlphaTextProjection(nn.Module):  # pragma: no cover - reserved for parity
     hidden_size: int
     dtype: jnp.dtype = jnp.float32

@@ -33,13 +33,17 @@ class GroupNorm(nn.Module):
     num_groups: int
     epsilon: float
     param_dtype: jnp.dtype = jnp.float32
+    # None = env default; "prefer" = Pallas kernel whenever on-TPU + eligible
+    # (module-level override for op mixes where XLA GN degenerates — the adapter)
+    use_pallas: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, silu: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon, silu)
+        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon, silu,
+                               self.use_pallas)
 
 
 def group_norm(
@@ -48,9 +52,11 @@ def group_norm(
     name: str,
     dtype: jnp.dtype,
     param_dtype: jnp.dtype = jnp.float32,
+    use_pallas: Optional[object] = None,
 ) -> GroupNorm:
     """GroupNorm factory; call result with ``silu=True`` to fuse the activation."""
-    return GroupNorm(num_groups=num_groups, epsilon=eps, name=name, param_dtype=param_dtype)
+    return GroupNorm(num_groups=num_groups, epsilon=eps, name=name, param_dtype=param_dtype,
+                     use_pallas=use_pallas)
 
 
 class Upsample2D(nn.Module):
@@ -129,6 +135,7 @@ class ResnetBlock2D(nn.Module):
     up: bool = False
     down: bool = False
     skip_time_act: bool = False
+    gn_kernel: Optional[object] = None  # GroupNorm use_pallas override
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -150,9 +157,9 @@ class ResnetBlock2D(nn.Module):
             param_dtype=self.param_dtype,
         )
 
-        hidden_states = group_norm(self.groups, self.eps, "norm1", self.dtype, self.param_dtype)(
-            input_tensor, silu=True
-        )
+        hidden_states = group_norm(
+            self.groups, self.eps, "norm1", self.dtype, self.param_dtype, self.gn_kernel
+        )(input_tensor, silu=True)
 
         if self.up:
             target = output_size or (hidden_states.shape[-3] * 2, hidden_states.shape[-2] * 2)
@@ -177,15 +184,15 @@ class ResnetBlock2D(nn.Module):
         if self.time_embedding_norm == "default":
             if temb_proj is not None:
                 hidden_states = hidden_states + temb_proj
-            hidden_states = group_norm(groups_out, self.eps, "norm2", self.dtype, self.param_dtype)(
-                hidden_states, silu=True
-            )
+            hidden_states = group_norm(
+                groups_out, self.eps, "norm2", self.dtype, self.param_dtype, self.gn_kernel
+            )(hidden_states, silu=True)
         elif self.time_embedding_norm == "scale_shift":
             # affine from temb sits between the norm and the activation — not fusable
             time_scale, time_shift = jnp.split(temb_proj, 2, axis=-1)
-            hidden_states = group_norm(groups_out, self.eps, "norm2", self.dtype, self.param_dtype)(
-                hidden_states
-            ).astype(hidden_states.dtype)
+            hidden_states = group_norm(
+                groups_out, self.eps, "norm2", self.dtype, self.param_dtype, self.gn_kernel
+            )(hidden_states).astype(hidden_states.dtype)
             hidden_states = hidden_states * (1 + time_scale) + time_shift
             hidden_states = nn.silu(hidden_states)
         else:
@@ -219,6 +226,7 @@ class TemporalResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     temb_channels: Optional[int] = 512
     eps: float = 1e-6
+    gn_kernel: Optional[object] = None  # GroupNorm use_pallas override
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -234,9 +242,9 @@ class TemporalResnetBlock(nn.Module):
             param_dtype=self.param_dtype,
         )
 
-        hidden_states = group_norm(32, self.eps, "norm1", self.dtype, self.param_dtype)(
-            input_tensor, silu=True
-        )
+        hidden_states = group_norm(
+            32, self.eps, "norm1", self.dtype, self.param_dtype, self.gn_kernel
+        )(input_tensor, silu=True)
         hidden_states = conv3d(out_channels, (3, 1, 1), "conv1")(hidden_states)
 
         if temb is not None and self.temb_channels is not None:
@@ -246,9 +254,9 @@ class TemporalResnetBlock(nn.Module):
             )(temb)
             hidden_states = hidden_states + temb[:, :, None, None, :]  # (B,F,1,1,C)
 
-        hidden_states = group_norm(32, self.eps, "norm2", self.dtype, self.param_dtype)(
-            hidden_states, silu=True
-        )
+        hidden_states = group_norm(
+            32, self.eps, "norm2", self.dtype, self.param_dtype, self.gn_kernel
+        )(hidden_states, silu=True)
         hidden_states = conv3d(out_channels, (3, 1, 1), "conv2")(hidden_states)
 
         if self.in_channels != out_channels:

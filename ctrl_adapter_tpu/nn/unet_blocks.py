@@ -41,6 +41,8 @@ class Transformer2DModel(nn.Module):
         self,
         hidden_states: jnp.ndarray,  # (n, h, w, c)
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
     ) -> jnp.ndarray:
         n, h, w, c = hidden_states.shape
         inner_dim = self.num_attention_heads * self.attention_head_dim
@@ -72,7 +74,8 @@ class Transformer2DModel(nn.Module):
                 name=f"transformer_blocks_{i}",
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(hidden_states, encoder_hidden_states=encoder_hidden_states)
+            )(hidden_states, encoder_hidden_states=encoder_hidden_states,
+              ip_hidden_states=ip_hidden_states, ip_scale=ip_scale)
 
         if self.use_linear_projection:
             hidden_states = nn.Dense(
@@ -146,6 +149,8 @@ class CrossAttnDownBlock2D(nn.Module):
         hidden_states: jnp.ndarray,
         temb: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
     ):
         output_states = ()
         for i in range(self.num_layers):
@@ -172,7 +177,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 name=f"attentions_{i}",
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(hidden_states, encoder_hidden_states)
+            )(hidden_states, encoder_hidden_states, ip_hidden_states, ip_scale)
             output_states += (hidden_states,)
         if self.add_downsample:
             hidden_states = Downsample2D(
@@ -203,6 +208,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         hidden_states: jnp.ndarray,
         temb: jnp.ndarray,
         encoder_hidden_states: Optional[jnp.ndarray] = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
     ) -> jnp.ndarray:
         resnet = lambda name: ResnetBlock2D(  # noqa: E731
             in_channels=self.in_channels,
@@ -229,7 +236,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                 name=f"attentions_{i}",
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(hidden_states, encoder_hidden_states)
+            )(hidden_states, encoder_hidden_states, ip_hidden_states, ip_scale)
             hidden_states = resnet(f"resnets_{i + 1}")(hidden_states, temb)
         return hidden_states
 
@@ -292,7 +299,8 @@ class CrossAttnUpBlock2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, res_hidden_states_tuple, temb, encoder_hidden_states=None):
+    def __call__(self, hidden_states, res_hidden_states_tuple, temb, encoder_hidden_states=None,
+                 ip_hidden_states=None, ip_scale=1.0):
         for i in range(self.num_layers):
             res_skip_channels = self.in_channels if (i == self.num_layers - 1) else self.out_channels
             resnet_in_channels = self.prev_output_channel if i == 0 else self.out_channels
@@ -322,7 +330,7 @@ class CrossAttnUpBlock2D(nn.Module):
                 name=f"attentions_{i}",
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(hidden_states, encoder_hidden_states)
+            )(hidden_states, encoder_hidden_states, ip_hidden_states, ip_scale)
         if self.add_upsample:
             hidden_states = Upsample2D(
                 self.out_channels, use_conv=True, name="upsamplers_0",

@@ -2,11 +2,12 @@
 
 GroupNorm→SiLU is the most frequent op pair in every UNet/ControlNet block
 (~60 instances per backbone forward; reference `model/resnet_block_2d.py:164-221`,
-`controlnet/controlnet.py:347-438`). Unfused, XLA executes it as a reduce pass
-(read x) plus a normalize+SiLU pass (read x, write y): 2 reads + 1 write of the
-feature map. The Pallas kernel keeps one sample's feature map in VMEM and does
-stats + normalize + affine + SiLU in ONE read + ONE write — a ~33% HBM-bandwidth cut
-on the memory-bound segments between matmuls.
+`controlnet/controlnet.py:347-438`). Standalone, XLA executes it as a reduce pass
+(read x) plus a normalize+SiLU pass (read x, write y); the Pallas kernel does
+stats + normalize + affine + SiLU in ONE read + ONE write. In the conv-sandwiched
+UNet context, however, XLA fuses the stat pass into the producing conv's epilogue
+and the normalize into the consumer — beating the kernel (see ``_on_tpu``), so
+dispatch is opt-in.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
 - grid over the batch axis; block = one sample's full (S, C) feature map in VMEM.
@@ -41,7 +42,14 @@ _CHUNK_F32_BYTES = 1024 * 1024  # per-chunk fp32 temp target
 
 
 def _on_tpu() -> bool:
-    if os.environ.get("CTRL_ADAPTER_NO_FUSED_GN") == "1":
+    # OPT-IN (CTRL_ADAPTER_FUSED_GN=1): the kernel wins standalone (one HBM pass
+    # vs two), but measured on the full SVD UNet step (v5e r2) it is a net LOSS:
+    # 333.4 ms/step with it vs 325.2 ms without. XLA fuses the GN *stat* pass
+    # into the producing conv's epilogue (`convert_reduce_fusion`, ~126 TFLOP/s)
+    # and the normalize+SiLU into the consumer, at conv-preferred layouts — the
+    # pallas_call boundary instead forces {3,2,1,0} relayout copies on both
+    # sides. Kept for programs whose GN neighbors aren't convolutions.
+    if os.environ.get("CTRL_ADAPTER_FUSED_GN") != "1":
         return False
     from .backend import is_tpu_backend
 
@@ -56,15 +64,31 @@ def _xla_group_norm_silu(
     eps: float,
     silu: bool,
 ) -> jnp.ndarray:
-    """Reference implementation (flax.linen.GroupNorm math, fp32 stats)."""
+    """flax.linen.GroupNorm math (fp32 stats, E[x^2]-E[x]^2 fast variance) in a
+    channel-sum formulation: the big tensor is only ever touched as (n, s, c)
+    row-major — per-channel sums first, the (g, c/g) split only on tiny (n, c)
+    stats. The naive (n, s, g, c/g) reshape puts c/g (10 for the UNet's 320/32)
+    on the lane axis; if XLA materialises it, the 128-lane padding is a 12.8x
+    memory blow-up (measured: 7.2 s vs 0.17 s for one adapter forward on v5e).
+    This layout also lets XLA fuse the stat pass into the producing conv's
+    epilogue, which is why the fallback beats the Pallas kernel between convs."""
     c = x.shape[-1]
     n = x.shape[0]
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = (xf * xf).mean(axis=(1, 3), keepdims=True) - mean * mean
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(n, -1, c)
+    s = xf.shape[1]
+    ch_sum = jnp.sum(xf, axis=1)  # (n, c)
+    ch_sq = jnp.sum(xf * xf, axis=1)
+    g_sum = ch_sum.reshape(n, num_groups, cg).sum(-1)  # (n, g) — tiny
+    g_sq = ch_sq.reshape(n, num_groups, cg).sum(-1)
+    count = s * cg
+    g_mean = g_sum / count
+    g_var = g_sq / count - g_mean * g_mean
     # E[x^2] - E[x]^2 can go epsilon-negative in fp32 for near-constant groups
-    y = (xf - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    y = y.reshape(n, -1, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    g_rstd = jax.lax.rsqrt(jnp.maximum(g_var, 0.0) + eps)
+    mean_c = jnp.repeat(g_mean, cg, axis=-1)[:, None]  # (n, 1, c)
+    rstd_c = jnp.repeat(g_rstd, cg, axis=-1)[:, None]
+    y = (xf - mean_c) * rstd_c * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.reshape(x.shape).astype(x.dtype)
@@ -207,14 +231,24 @@ def group_norm_silu(
     """GroupNorm over trailing channels (+ optional fused SiLU).
 
     x: (N, ..., C); statistics per sample over all non-channel dims within each of
-    ``num_groups`` contiguous channel groups. ``use_pallas``: None = auto (TPU and
-    the sample fits VMEM), True = force (interpret mode off-TPU, for tests),
-    False = XLA fallback.
+    ``num_groups`` contiguous channel groups. ``use_pallas``: None = auto
+    (CTRL_ADAPTER_FUSED_GN=1 on TPU and the sample fits VMEM), "prefer" = kernel
+    whenever on TPU and eligible regardless of the env default (module-level
+    override: the adapter's op mix degenerates under XLA GN — 7.2 s vs 0.17 s
+    per forward on v5e — while the conv-sandwiched UNet/ControlNet towers are
+    faster WITHOUT the kernel), True = force (interpret mode off-TPU, for
+    tests), False = XLA fallback.
     """
+    from .backend import is_tpu_backend
+
+    if use_pallas == "prefer":
+        use_pallas = True if (is_tpu_backend() and _eligible(x, num_groups)) else False
     use = use_pallas if use_pallas is not None else (_on_tpu() and _eligible(x, num_groups))
     if use and _eligible(x, num_groups):
+        # interpret tracks the real backend (tests force use_pallas=True on CPU);
+        # the env gate only controls the *default* dispatch.
         return _pallas_group_norm_silu(
-            x, scale, bias, num_groups, eps, silu, interpret=not _on_tpu()
+            x, scale, bias, num_groups, eps, silu, interpret=not is_tpu_backend()
         )
     return _xla_group_norm_silu(x, scale, bias, num_groups, eps, silu)
 

@@ -77,9 +77,12 @@ class SDXLControlNetAdapterPipeline:
         guess_mode: bool = False,
         timestep_cond: Optional[jnp.ndarray] = None,  # (b, time_cond_proj_dim)
         do_cfg: bool = True,
+        image_embeds: Optional[jnp.ndarray] = None,  # (2b, d) IP-Adapter CLIP embeds
     ) -> jnp.ndarray:
         state = self.scheduler.set_timesteps(num_inference_steps)
         added = {"text_embeds": add_text_embeds, "time_ids": add_time_ids}
+        if image_embeds is not None:
+            added["image_embeds"] = image_embeds
 
         def model_input(lat, i):
             lmi = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
@@ -165,6 +168,7 @@ class SDXLControlNetAdapterPipeline:
         latents: Optional[jnp.ndarray] = None,
         control_latent_size: int = 64,
         output_type: str = "pil",
+        ip_adapter_image_embeds: Optional[jnp.ndarray] = None,  # (b, d) CLIP image embeds
     ):
         """Host-level wrapper: prepares CFG batches/latents, runs the jitted phases."""
         batch = prompt_embeds.shape[0] // 2
@@ -195,6 +199,15 @@ class SDXLControlNetAdapterPipeline:
         if control_image.shape[0] != model_batch:
             control_image = jnp.concatenate([control_image[:batch]] * (model_batch // batch), axis=0)
 
+        # IP-Adapter: negative half attends zero image embeds (reference
+        # `sdxl_...py:535-539` encode_image -> prepare_ip_adapter_image_embeds)
+        image_embeds = None
+        if ip_adapter_image_embeds is not None:
+            image_embeds = ip_adapter_image_embeds[:batch]
+            if do_cfg:
+                image_embeds = jnp.concatenate(
+                    [jnp.zeros_like(image_embeds), image_embeds], axis=0)
+
         window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
         latents = self._sample(
             params, latents, prompt_embeds, add_text_embeds, add_time_ids,
@@ -208,6 +221,7 @@ class SDXLControlNetAdapterPipeline:
             bool(guess_mode),
             timestep_cond,
             bool(do_cfg),
+            image_embeds,
         )
         image = self._decode(params["vae"], latents, vae_scaling_factor)
         if output_type == "latent":
