@@ -169,4 +169,13 @@ def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPars
     add("--num_images_per_prompt", type=int, default=1)
     add("--video_length", type=int, default=16)
     add("--video_duration", type=int, default=1000)
+    add("--noise_aug_strength", type=float, default=0.02,
+        help="SVD image-space noise augmentation before the VAE conditioning encode "
+             "(reference `svd_...py:560-562`)")
+    add("--negative_prompt", type=str, default="",
+        help="negative prompt for the CFG uncond half (reference "
+             "`sdxl_..._pipeline.py:547-589` exposes this on every pipeline)")
+    add("--evaluate", type=bool_flag, default=False,
+        help="emit per-sample control-fidelity metrics JSON next to the outputs "
+             "(canny F1 / depth correlation / temporal consistency)")
     return parser

@@ -13,9 +13,12 @@ zero-egress image plus hooks for the encoder-based ones:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
@@ -78,7 +81,10 @@ def depth_control_correlation(
 
         try:
             extractor = DepthMidas()
-        except Exception:
+        except Exception as e:
+            logger.warning(
+                "depth_control_correlation unavailable (no local DPT checkpoint?): %s", e
+            )
             return None
     gen_depth = extractor([generated])[0][..., 0].astype(np.float64)
     cond = condition_depth[..., 0].astype(np.float64)
@@ -92,9 +98,15 @@ def evaluate_video(
     video: np.ndarray,  # (f, h, w, 3) in [0,1]
     condition_frames: Optional[np.ndarray] = None,  # (f, h, w, 3) uint8
     control_type: str = "canny",
+    depth_extractor=None,
 ) -> Dict[str, float]:
-    out: Dict[str, float] = dict(temporal_consistency(video))
-    if condition_frames is not None and control_type == "canny":
+    """Per-sample control-fidelity metrics (the paper's spatial-control axis plus a
+    temporal-smoothness proxy). Single images pass ``video`` with f=1."""
+    out: Dict[str, float] = {}
+    if video.shape[0] > 1:
+        out.update(temporal_consistency(video))
+    if condition_frames is not None and control_type in ("canny", "scribble", "softedge",
+                                                         "lineart"):
         from ..utils.image import unit_to_uint8
 
         f1s = [
@@ -102,4 +114,18 @@ def evaluate_video(
             for i in range(video.shape[0])
         ]
         out["canny_control_f1"] = float(np.mean(f1s))
+    if condition_frames is not None and control_type == "depth":
+        from ..utils.image import unit_to_uint8
+
+        corrs = []
+        for i in range(video.shape[0]):
+            c = depth_control_correlation(
+                unit_to_uint8(video[i]), condition_frames[i], extractor=depth_extractor
+            )
+            if c is None:  # extractor unavailable: stop retrying per frame
+                logger.warning("skipping depth correlation (extractor unavailable)")
+                break
+            corrs.append(c)
+        if corrs:
+            out["depth_control_correlation"] = float(np.mean(corrs))
     return out

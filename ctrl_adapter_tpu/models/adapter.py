@@ -349,11 +349,14 @@ class ControlNetAdapter(nn.Module):
         down_block_ids = self.down_block_ids
         channels = self.down_block_channels
 
-        num_active = len(down_block_ids)
-        all_repeats: List[jnp.ndarray] = []  # num_repeats * 12 entries
+        # Slot count follows the residual list (12 for the SD-v1.5 tower; thin test
+        # and dryrun towers may pass fewer — location ids keep reference semantics).
+        n_slots = len(down_block_res_samples)
+        num_active = len([i for i in down_block_ids if i < n_slots])
+        all_repeats: List[jnp.ndarray] = []  # num_repeats * n_slots entries
         for r in range(self.num_repeats):
             curr_idx = 0
-            for i in range(NUM_DOWN_BLOCKS):
+            for i in range(n_slots):
                 if i in down_block_ids:
                     block = AdapterSpatioTemporal(
                         **self._adapter_config(channels[curr_idx], up_scale),
@@ -398,7 +401,7 @@ class ControlNetAdapter(nn.Module):
             for r in range(self.num_repeats):
                 acc = 0.0
                 curr_idx = 0
-                for i in range(NUM_DOWN_BLOCKS):
+                for i in range(n_slots):
                     if i in down_block_ids:
                         zc = nn.Conv(
                             self.out_channels, (1, 1),
@@ -406,7 +409,7 @@ class ControlNetAdapter(nn.Module):
                             name=f"zero_convs_{zero_conv_idx}",
                             dtype=self.dtype, param_dtype=self.param_dtype,
                         )
-                        acc = acc + zc(all_repeats[curr_idx + NUM_DOWN_BLOCKS * r])
+                        acc = acc + zc(all_repeats[curr_idx + n_slots * r])
                         curr_idx += 1
                         zero_conv_idx += 1
                 aggregated.append(acc)

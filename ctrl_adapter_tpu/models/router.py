@@ -135,14 +135,15 @@ def build_router_input(
 def fuse_expert_residuals(
     down_per_expert,  # list over E of list over K of (..., c) arrays
     mid_per_expert,  # list over E of arrays, or None
-    down_weights: jnp.ndarray,  # (K, E)
-    mid_weights: Optional[jnp.ndarray],  # (E,)
+    down_weights: Optional[jnp.ndarray],  # (K, E); None = unweighted sum (no router)
+    mid_weights: Optional[jnp.ndarray],  # (E,); None = unweighted sum
 ):
     """Router-weighted merge of per-expert ControlNet residuals.
 
     Equivalent to the per-expert accumulation loops at
     `i2vgen_xl_controlnet_adapter_pipeline.py:1000-1022` / `train.py:1262-1274`, but as
     a static sum so XLA fuses the scale+add chains into the producing convolutions.
+    ``None`` weights mean the routerless single/summed-expert path (weight 1.0).
     """
     num_experts = len(down_per_expert)
     num_blocks = len(down_per_expert[0])
@@ -150,13 +151,16 @@ def fuse_expert_residuals(
     for k in range(num_blocks):
         acc = 0
         for e in range(num_experts):
-            w = down_weights[k, e].astype(down_per_expert[e][k].dtype)
-            acc = acc + down_per_expert[e][k] * w
+            r = down_per_expert[e][k]
+            acc = acc + (r if down_weights is None
+                         else r * down_weights[k, e].astype(r.dtype))
         fused_down.append(acc)
     fused_mid = None
-    if mid_per_expert is not None and mid_weights is not None:
+    if mid_per_expert is not None and (mid_weights is not None or down_weights is None):
         acc = 0
         for e in range(num_experts):
-            acc = acc + mid_per_expert[e] * mid_weights[e].astype(mid_per_expert[e].dtype)
+            r = mid_per_expert[e]
+            acc = acc + (r if mid_weights is None
+                         else r * mid_weights[e].astype(r.dtype))
         fused_mid = acc
     return fused_down, fused_mid

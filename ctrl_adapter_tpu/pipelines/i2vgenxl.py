@@ -109,8 +109,7 @@ class I2VGenXLControlNetAdapterPipeline:
             # renormalization is already handled by the masked softmax
             mid_w = mid_w_full[active_arr] if mid_w_full is not None else None
         else:
-            down_w = jnp.ones((13, len(active)))
-            mid_w = jnp.ones((len(active),))
+            down_w = mid_w = None  # routerless: unweighted expert sum
 
         cn_prompt_rep = jnp.repeat(controlnet_prompt_embeds, num_frames, axis=0)
         adapter_ehs = image_embeddings[-1:]  # (1, 1, 1024), broadcast in adapter
@@ -129,7 +128,7 @@ class I2VGenXLControlNetAdapterPipeline:
             noise_pred = classifier_free_guidance(noise_pred, guidance_scale)
             return DDIMScheduler.step(state, noise_pred, i, lat)
 
-        def controlled_body(lat, i):
+        def compute_residuals(lat, i):
             t = state.timesteps[i].astype(jnp.float32)
             lmi = jnp.concatenate([lat, lat], axis=0)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)
@@ -183,18 +182,29 @@ class I2VGenXLControlNetAdapterPipeline:
                     adapted_mid = dense.at[idx_arr].set(adapted_mid)
                 adapted_down = full_down
 
-            return unet_step(lat, i, adapted_down, adapted_mid), None
+            return list(adapted_down), adapted_mid
 
-        def plain_body(lat, i):
-            return unet_step(lat, i, None, None), None
-
+        # ONE scan, control window as a lax.cond: the UNet body compiles once instead
+        # of once per phase scan (cold-compile wall-clock; see svd.py for rationale).
+        # Out-of-window steps skip the ControlNet/adapter entirely (cond branch).
         lo, hi = window
-        if lo > 0:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
         if hi > lo:
-            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
-        if num_inference_steps > hi:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+            res_shapes = jax.eval_shape(compute_residuals, latents, jnp.asarray(0))
+
+            def zero_residuals(lat, i):
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), res_shapes)
+
+            def body(lat, i):
+                in_window = jnp.logical_and(i >= lo, i < hi)
+                adapted_down, adapted_mid = jax.lax.cond(
+                    in_window, compute_residuals, zero_residuals, lat, i
+                )
+                return unet_step(lat, i, adapted_down, adapted_mid), None
+        else:
+            def body(lat, i):
+                return unet_step(lat, i, None, None), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_inference_steps))
         return latents
 
     @partial(jax.jit, static_argnums=(0, 4))

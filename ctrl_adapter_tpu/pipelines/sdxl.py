@@ -104,7 +104,7 @@ class SDXLControlNetAdapterPipeline:
                 )
             return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
 
-        def controlled_body(lat, i):
+        def compute_residuals(lat, i):
             t = state.timesteps[i]
             lmi = model_input(lat, i)
             # 64x64 latent + 512 control image bridge (reference `:1305-1312`);
@@ -122,21 +122,27 @@ class SDXLControlNetAdapterPipeline:
                 params["adapter"], downs, None,
                 num_frames=1, timestep=tb, encoder_hidden_states=prompt_embeds,
             )
-            # mid_block_additional_residual=0 keeps diffusers' is_controlnet branch
-            # semantics (reference `:1364`); adding 0 is a no-op, so pass the residuals
-            # with a zero mid.
-            return unet_step(lat, i, adapted, jnp.zeros((), latents.dtype)), None
+            return list(adapted)
 
-        def plain_body(lat, i):
-            return unet_step(lat, i, None, None), None
-
+        # ONE scan, control window as a lax.cond (UNet body compiles once; see
+        # svd.py for the cold-compile rationale). mid_block_additional_residual=0
+        # keeps diffusers' is_controlnet branch semantics (reference `:1364`).
         lo, hi = window
-        if lo > 0:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
         if hi > lo:
-            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
-        if num_inference_steps > hi:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+            res_shapes = jax.eval_shape(compute_residuals, latents, jnp.asarray(0))
+
+            def zero_residuals(lat, i):
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), res_shapes)
+
+            def body(lat, i):
+                in_window = jnp.logical_and(i >= lo, i < hi)
+                adapted = jax.lax.cond(in_window, compute_residuals, zero_residuals, lat, i)
+                return unet_step(lat, i, adapted, jnp.zeros((), latents.dtype)), None
+        else:
+            def body(lat, i):
+                return unet_step(lat, i, None, None), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_inference_steps))
         return latents
 
     @partial(jax.jit, static_argnums=(0,))

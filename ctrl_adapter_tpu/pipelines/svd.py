@@ -97,7 +97,8 @@ class SVDControlNetAdapterPipeline:
             noise_pred = uncond + guidance_b * (cond - uncond)  # per-frame CFG (`:768-774`)
             return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
 
-        def controlled_body(lat, i):
+        def compute_residuals(lat, i):
+            """ControlNet tower + adapter -> dense (adapted_down, adapted_mid)."""
             lmi = jnp.concatenate([lat, lat], axis=0)
             lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)  # first 4 channels only
@@ -136,19 +137,32 @@ class SVDControlNetAdapterPipeline:
                     dense = jnp.zeros((2 * b * num_frames,) + adapted_mid.shape[1:],
                                       adapted_mid.dtype)
                     adapted_mid = dense.at[idx_arr].set(adapted_mid)
+            return list(adapted_down), adapted_mid
 
-            return unet_step(lat, i, adapted_down, adapted_mid), None
-
-        def plain_body(lat, i):
-            return unet_step(lat, i, None, None), None
-
+        # ONE scan over all steps. The control window is a lax.cond inside the body:
+        # the ControlNet+adapter run only on in-window steps (same FLOPs as the
+        # reference's per-step Python branch, `svd_...py:684-749`), while the UNet
+        # body compiles ONCE — the previous three-phase-scan layout duplicated the
+        # full UNet HLO into a second scan body, doubling cold-compile wall-clock
+        # (the r02 driver bench died mid-compile at 628s).
         lo, hi = window
-        if lo > 0:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(0, lo))
         if hi > lo:
-            latents, _ = jax.lax.scan(controlled_body, latents, jnp.arange(lo, hi))
-        if num_inference_steps > hi:
-            latents, _ = jax.lax.scan(plain_body, latents, jnp.arange(hi, num_inference_steps))
+            res_shapes = jax.eval_shape(compute_residuals, latents, jnp.asarray(0))
+
+            def zero_residuals(lat, i):
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), res_shapes)
+
+            def body(lat, i):
+                in_window = jnp.logical_and(i >= lo, i < hi)
+                adapted_down, adapted_mid = jax.lax.cond(
+                    in_window, compute_residuals, zero_residuals, lat, i
+                )
+                return unet_step(lat, i, adapted_down, adapted_mid), None
+        else:
+            def body(lat, i):
+                return unet_step(lat, i, None, None), None
+
+        latents, _ = jax.lax.scan(body, latents, jnp.arange(num_inference_steps))
         return latents
 
     @partial(jax.jit, static_argnums=(0, 4))

@@ -258,8 +258,7 @@ class CtrlAdapterTrainer:
                 trainable["router"], router_in, sparse_mask=batch.get("expert_mask")
             )
         else:
-            down_w = jnp.ones((13, cfg.num_experts))
-            mid_w = jnp.ones((cfg.num_experts,))
+            down_w = mid_w = None  # routerless: unweighted expert sum
         fused_down, fused_mid = fuse_expert_residuals(per_down, per_mid, down_w, mid_w)
         use_mid = "M" in self.adapter.adapter_locations
         if not use_mid:
@@ -351,7 +350,11 @@ class CtrlAdapterTrainer:
         else:
             loss = mse_loss(model_pred, target)
 
-        aux = {"down_block_weights": down_w, "mid_block_weights": mid_w}
+        aux = {}
+        if down_w is not None:
+            aux["down_block_weights"] = down_w
+        if mid_w is not None:
+            aux["mid_block_weights"] = mid_w
         return loss, aux
 
     # ------------------------------------------------------------------- step

@@ -30,7 +30,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.environ.get("CTRL_ADAPTER_JAX_CACHE", "/tmp/jax_ctrl_adapter_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "CTRL_ADAPTER_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -324,13 +330,14 @@ def main():
 
         def cn_embeds():
             if encoders is not None:
-                return jnp.asarray(encoders["controlnet"]([prompt]))  # (2, 77, 768)
+                return jnp.asarray(encoders["controlnet"](
+                    [prompt], [args.negative_prompt]))  # (2, 77, 768) [neg; pos]
             return pseudo_text(2, 768)
 
         def backbone_text(dim):
             if encoders is not None and args.model_name == "i2vgenxl":
                 pos = encoders["text"]([prompt])
-                neg = encoders["text"]([""])
+                neg = encoders["text"]([args.negative_prompt])
                 return jnp.asarray(np.concatenate([neg, pos], axis=0))
             return pseudo_text(2, dim)
 
@@ -339,7 +346,7 @@ def main():
             if encoders is None or "text_2" not in encoders:
                 return pseudo_text(2, 2048), jnp.ones((2, 1280)) * 0.1
             embs, pools = [], []
-            for text in ("", prompt):  # [neg; pos]
+            for text in (args.negative_prompt, prompt):  # [neg; pos]
                 h1, _ = encoders["text"].encode_with_pooled([text])
                 h2, pool2 = encoders["text_2"].encode_with_pooled([text])
                 embs.append(np.concatenate([h1, h2], axis=-1))
@@ -355,7 +362,35 @@ def main():
                     [frames[0]], antialiased=args.model_name == "svd"))
             return jnp.ones((1, 1, 1024)) * 0.1
 
+        def conditioning_image_latent(latent_rng):
+            """VAE-encode the first frame for the video backbones.
+
+            I2VGen-XL: latent_dist.sample() (`i2vgen_xl_...py:804-812`); SVD:
+            noise-augmented latent_dist.mode() (`svd_...py:560-574`). With
+            ``--fake_weights`` the latent stays zero (hermetic CLI path: random
+            VAE params produce meaningless latents anyway).
+            """
+            shape = (1, args.height // 8, args.width // 8, 4)
+            if args.fake_weights:
+                return jnp.zeros(shape)
+            from ctrl_adapter_tpu.pipelines.image_latents import (
+                encode_first_frame_latent, encode_svd_image_latent,
+            )
+
+            img = frames[0]
+            if img.shape[:2] != (args.height, args.width):
+                import cv2
+
+                img = cv2.resize(img, (args.width, args.height))
+            unit = image_to_unit(img)
+            if args.model_name == "svd":
+                return encode_svd_image_latent(
+                    pipe.vae, params["vae"], unit, latent_rng,
+                    noise_aug_strength=args.noise_aug_strength)
+            return encode_first_frame_latent(pipe.vae, params["vae"], unit, latent_rng)
+
         rng = jax.random.PRNGKey(args.seed)
+        rng, latent_rng = jax.random.split(rng)
         t0 = time.time()
         if args.model_name == "sdxl":
             sdxl_prompt_embeds, sdxl_pooled = sdxl_text()
@@ -381,7 +416,7 @@ def main():
                 prompt_embeds=backbone_text(1024),
                 controlnet_prompt_embeds=cn_embeds(),
                 image_embeddings=image_embeds(),
-                first_frame_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
+                first_frame_latent=conditioning_image_latent(latent_rng),
                 control_images=jnp.asarray(conds.reshape(conds.shape[0], -1, *conds.shape[2:])),
                 height=args.height, width=args.width, num_frames=f,
                 num_inference_steps=args.num_inference_steps,
@@ -398,7 +433,7 @@ def main():
             video = np.asarray(pipe.generate(
                 params, rng,
                 image_embeddings=image_embeds(),
-                image_latent=jnp.zeros((1, args.height // 8, args.width // 8, 4)),
+                image_latent=conditioning_image_latent(latent_rng),
                 controlnet_prompt_embeds=cn_embeds(),
                 control_images=jnp.asarray(conds[0]),
                 height=args.height, width=args.width, num_frames=f,
@@ -426,6 +461,28 @@ def main():
                 cond_vis = [cv2.resize(c, gen_vis[0].shape[:2][::-1]) for c in cond_vis]
             save_concat_gif([cond_vis, gen_vis],
                             os.path.join(out_dir, "output_concat.gif"), fps=args.output_fps)
+
+        if args.evaluate:
+            # per-sample control-fidelity metrics next to the outputs (the reference
+            # leaves evaluation as a TODO, `README.md:228`; this implements the
+            # paper's spatial-control / temporal-smoothness measurements)
+            from ctrl_adapter_tpu.evaluation.metrics import evaluate_video
+
+            cond_uint8 = np.stack(
+                [unit_to_uint8(c) for c in conds[0][: vid.shape[0]]]
+            )
+            if cond_uint8.shape[1:3] != vid.shape[1:3]:
+                import cv2
+
+                cond_uint8 = np.stack(
+                    [cv2.resize(c, vid.shape[1:3][::-1]) for c in cond_uint8])
+            metrics = evaluate_video(
+                np.asarray(vid, np.float32), cond_uint8,
+                control_type=args.control_types[0])
+            with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+                json.dump({"sample": sample_name or "sample",
+                           "control_type": args.control_types[0], **metrics}, fh)
+            print(f"metrics[{sample_name or 'sample'}]: {metrics}", file=sys.stderr)
 
     print(json.dumps({"status": "ok", "output": out_root}))
 

@@ -21,6 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compile cache: repeated test runs skip recompiles (single-core host).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Persistent compile cache INSIDE the repo (gitignored `.cache/`): fresh containers
+# share this checkout, so one warmed run makes later suite runs skip every compile —
+# this single-core host pays ~1h of XLA-CPU compile otherwise.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "CTRL_ADAPTER_JAX_TEST_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".cache", "jax_test"),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Record the full 6-config bench matrix (VERDICT r2 item 7) on the real chip.
+# Each config prints one JSON line; results are appended with a date stamp so
+# docs/PERFORMANCE.md can carry the measured matrix.
+set -u
+cd "$(dirname "$0")/.."
+out="${1:-docs/bench_matrix.jsonl}"
+for cfg in svd_depth svd_softedge_sparse i2vgenxl_depth i2vgenxl_multi sdxl_depth train_step; do
+  echo "=== $cfg" >&2
+  line=$(timeout 2400 python bench.py --config "$cfg" 2> >(tail -3 >&2) | tail -1)
+  if [ -n "$line" ]; then
+    echo "{\"date\": \"$(date -u +%F)\", \"config\": \"$cfg\", \"result\": $line}" >> "$out"
+    echo "$line"
+  else
+    echo "{\"date\": \"$(date -u +%F)\", \"config\": \"$cfg\", \"result\": null}" >> "$out"
+    echo "(no result for $cfg)" >&2
+  fi
+done

@@ -27,7 +27,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.environ.get("CTRL_ADAPTER_JAX_CACHE", "/tmp/jax_ctrl_adapter_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "CTRL_ADAPTER_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -415,27 +421,23 @@ def main():
 
     def run_validation(step, batch=None):
         """Generate one control-conditioned sample with the current adapter
-        (the reference invokes the full inference path, `train.py:943-953`).
+        (the reference invokes the full inference path for EVERY backbone,
+        `train.py:943-953`).
 
         With a real ``batch`` (the step's training batch), validation runs the
         pipeline on that batch's actual prompt/image embeddings, condition images
         and first-frame latent at the configured inference step count; without one
         (synthetic/fake-weights smoke) it falls back to fixed pseudo-inputs."""
-        from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
         from ctrl_adapter_tpu.utils.image import save_concat_gif, save_gif, unit_to_uint8
 
-        if args.model_name != "i2vgenxl":
-            print("validation generation currently wired for i2vgenxl", file=sys.stderr)
-            return
-        pipe = I2VGenXLControlNetAdapterPipeline(
-            unet=trainer.unet, controlnet=trainer.controlnet,
-            adapter=trainer.adapter, vae=trainer.vae, router=trainer.router)
         val_params = {
             "unet": frozen["unet"], "vae": frozen["vae"],
             "adapter": jax.tree.map(lambda x: x, trainable["adapter"]),
         }
         for e in range(cfg.num_experts):
             val_params[f"controlnet_{e}"] = frozen[f"controlnet_{e}"]
+        # single-expert pipelines (svd/sdxl) read the unsuffixed key
+        val_params["controlnet"] = frozen["controlnet_0"]
         if trainer.router is not None:
             val_params["router"] = trainable["router"]
         s = cfg.control_latent_size
@@ -445,7 +447,8 @@ def main():
             # (negative CFG halves are zero embeddings, as in training dropout)
             pe_pos = jnp.asarray(batch["prompt_embeds"][:1])
             cn_pos = jnp.asarray(batch["controlnet_text_emb"][:1])
-            image_emb = jnp.asarray(batch["image_embeddings"][:1])
+            image_emb = jnp.asarray(batch.get("image_embeddings",
+                                              jnp.zeros((1, 1, 1024)))[:1])
             first = jnp.asarray(batch["frames"][:1, 0])  # (1, h, w, 3)
             ff_mean, _ = trainer.vae.apply(frozen["vae"], first,
                                            method="encode_moments")
@@ -456,24 +459,79 @@ def main():
         else:
             prompt_embeds = jnp.zeros((2, 77, args.cross_attention_dim))
             cn_embeds = jnp.zeros((2, 77, 768))
-            image_emb = jnp.zeros((1, 1, args.cross_attention_dim))
+            image_emb = jnp.zeros((1, 1, 1024 if args.model_name != "sdxl"
+                                   else args.cross_attention_dim))
             ff_mean = jnp.zeros((1, lh, lw, 4))
             cond = jnp.ones((cfg.num_experts, f, s * 8, s * 8, 3)) * 0.5
             steps = 4
-        video = pipe.generate(
-            val_params, jax.random.PRNGKey(step),
-            prompt_embeds=prompt_embeds,
-            controlnet_prompt_embeds=cn_embeds,
-            image_embeddings=image_emb,
-            first_frame_latent=ff_mean,
-            control_images=cond,
-            height=args.height, width=args.width, num_frames=f,
-            num_inference_steps=steps, control_latent_size=s,
-        )
+
+        if args.model_name == "i2vgenxl":
+            from ctrl_adapter_tpu.pipelines.i2vgenxl import (
+                I2VGenXLControlNetAdapterPipeline,
+            )
+
+            pipe = I2VGenXLControlNetAdapterPipeline(
+                unet=trainer.unet, controlnet=trainer.controlnet,
+                adapter=trainer.adapter, vae=trainer.vae, router=trainer.router)
+            video = pipe.generate(
+                val_params, jax.random.PRNGKey(step),
+                prompt_embeds=prompt_embeds,
+                controlnet_prompt_embeds=cn_embeds,
+                image_embeddings=image_emb,
+                first_frame_latent=ff_mean,
+                control_images=cond,
+                height=args.height, width=args.width, num_frames=f,
+                num_inference_steps=steps, control_latent_size=s,
+            )
+        elif args.model_name == "svd":
+            from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
+
+            pipe = SVDControlNetAdapterPipeline(
+                unet=trainer.unet, controlnet=trainer.controlnet,
+                adapter=trainer.adapter, vae=trainer.vae)
+            video = pipe.generate(
+                val_params, jax.random.PRNGKey(step),
+                image_embeddings=image_emb,
+                image_latent=ff_mean,
+                controlnet_prompt_embeds=cn_embeds,
+                control_images=cond[0],  # (f, 8s, 8s, 3); SVD is single-expert
+                height=args.height, width=args.width, num_frames=f,
+                num_inference_steps=steps,
+                skip_conv_in=cfg.skip_conv_in,
+                control_latent_size=s,
+            )
+        else:  # sdxl
+            from ctrl_adapter_tpu.pipelines.sdxl import SDXLControlNetAdapterPipeline
+
+            pipe = SDXLControlNetAdapterPipeline(
+                unet=trainer.unet, controlnet=trainer.controlnet,
+                adapter=trainer.adapter, vae=trainer.vae)
+            if batch is not None:
+                pooled_pos = jnp.asarray(batch["pooled_prompt_embeds"][:1])
+                pooled = jnp.concatenate([jnp.zeros_like(pooled_pos), pooled_pos])
+            else:
+                pooled = jnp.zeros((2, 1280))
+            image = pipe.generate(
+                val_params, jax.random.PRNGKey(step),
+                prompt_embeds=prompt_embeds,
+                add_text_embeds=pooled,
+                controlnet_prompt_embeds=cn_embeds,
+                control_image=cond[0, :1],  # (1, 8s, 8s, 3)
+                height=args.height, width=args.width,
+                num_inference_steps=steps, control_latent_size=s,
+            )
+            video = image[None] if image.ndim == 4 else image
+
         out = os.path.join(args.DATA_PATH, "validation", f"step_{step}.gif")
         frames_np = [np.asarray(v, np.float32) for v in video[0]]
-        save_gif(frames_np, out, fps=args.output_fps)
-        if batch is not None:
+        if len(frames_np) == 1:  # sdxl: single image
+            from ctrl_adapter_tpu.utils.image import save_png
+
+            out = out.replace(".gif", ".png")
+            save_png(frames_np[0], out)
+        else:
+            save_gif(frames_np, out, fps=args.output_fps)
+        if batch is not None and len(frames_np) > 1:
             # condition/generation side-by-side gif, as the reference's
             # validation writes (`inference.py:513-562` concat outputs)
             cond_vis = [unit_to_uint8(np.asarray(c, np.float32)) for c in cond[0]]
