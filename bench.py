@@ -66,10 +66,24 @@ def kernel_numerics_selfcheck(full: bool = False):
     and NaN-ing near-constant groups — invisible to the CPU suite. This check
     runs the real kernels on the real chip before any timing.
 
-    Default: one representative case per kernel family (each extra case costs a
-    remote compile, and the r02 bench was killed on wall-clock). ``--full_selfcheck``
-    restores the whole sweep.
+    Default: the GroupNorm case ONLY — it is the family that produced the real
+    r1 miscompile, and it compiles in seconds. The fused-FF and fused-temporal
+    cases each force a standalone Mosaic compile of a large kernel that the main
+    benchmark program compiles anyway (measured 2026-08-19: the default 3-case
+    check alone held the bench past the ~10-minute driver budget on a congested
+    tunnel, twice). ``--full_selfcheck`` restores the whole sweep;
+    ``CTRL_ADAPTER_SKIP_SELFCHECK=1`` skips entirely.
     """
+    if _os.environ.get("CTRL_ADAPTER_SKIP_SELFCHECK") == "1":
+        print("# kernel numerics self-check SKIPPED (env)", file=sys.stderr)
+        return
+    t_case = time.time()
+
+    def tick(label):
+        nonlocal t_case
+        print(f"# selfcheck {label}: {time.time() - t_case:.1f}s", file=sys.stderr)
+        t_case = time.time()
+
     from ctrl_adapter_tpu.ops.group_norm import _xla_group_norm_silu, group_norm_silu
 
     rng = np.random.default_rng(0)
@@ -88,11 +102,17 @@ def kernel_numerics_selfcheck(full: bool = False):
         assert np.isfinite(got).all() and err < 1e-4, (
             f"fused GroupNorm diverges from fallback on this chip: "
             f"shape={shape} maxdiff={err:.3e}")
+        tick(f"group_norm {shape}")
+
+    if not full:
+        print("# kernel numerics self-check passed (GN; --full_selfcheck for all)",
+              file=sys.stderr)
+        return
 
     from ctrl_adapter_tpu.ops.fused_block import _xla_ln_ff_residual, ln_ff_residual
 
     ff_cases = ((1024, 320), (256, 1280))
-    for (m, c) in ff_cases if full else ff_cases[:1]:
+    for (m, c) in ff_cases:
         inner = 4 * c
         mk = lambda *s: jnp.asarray(  # noqa: E731
             rng.standard_normal(s).astype(np.float32))
@@ -109,13 +129,14 @@ def kernel_numerics_selfcheck(full: bool = False):
         assert np.isfinite(got).all() and rel < 2e-2, (
             f"fused LN-FF diverges from fallback on this chip: "
             f"m={m} c={c} maxdiff={err:.3e} rel={rel:.3e}")
+        tick(f"ln_ff ({m},{c})")
     from ctrl_adapter_tpu.ops import fused_temporal as ft
 
     # fused temporal block: full mode (width 320) + attention-only (hybrid)
     ft_cases = ((320, 320, ("ffin", "attn", "ff")),
                 (512, 320, ("attn",)),
                 (640, 640, ("attn",)))
-    for c, ia, parts in ft_cases if full else ft_cases[:1]:
+    for c, ia, parts in ft_cases:
         b, f, s, nh, hd = 2, 14, 128, ia // 64, 64
         mk = lambda *sh: jnp.asarray(  # noqa: E731
             rng.standard_normal(sh).astype(np.float32) * 0.05, jnp.bfloat16)
@@ -145,6 +166,7 @@ def kernel_numerics_selfcheck(full: bool = False):
         assert np.isfinite(got).all() and rel < 2e-2, (
             f"fused temporal block diverges from fallback on this chip: "
             f"c={c} parts={parts} maxdiff={err:.3e} rel={rel:.3e}")
+        tick(f"temporal_block c={c} {parts}")
 
     print("# kernel numerics self-check passed", file=sys.stderr)
 
@@ -533,7 +555,9 @@ def main():
     ap.add_argument("--breakdown", action="store_true",
                     help="also time denoise-only vs VAE-decode (stderr; svd only)")
     ap.add_argument("--full_selfcheck", action="store_true",
-                    help="run every kernel-numerics case (default: one per family)")
+                    help="run every kernel-numerics case (default: GroupNorm only; "
+                         "the FF/temporal cases re-compile large Mosaic kernels "
+                         "standalone and can cost many minutes on a congested tunnel)")
     args = ap.parse_args()
 
     df, ds, dh = DEFAULTS[args.config]
