@@ -92,12 +92,16 @@ def kernel_numerics_selfcheck(full: bool = False):
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
         bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32) * 0.02
+        jax.block_until_ready(x)
+        tick("gn device put")
         got = np.asarray(jax.jit(
             lambda a, s, b, g=groups: group_norm_silu(a, s, b, g, 1e-6, True)
         )(x, scale, bias))
+        tick("gn kernel compile+run+readback")
         want = np.asarray(jax.jit(
             lambda a, s, b, g=groups: _xla_group_norm_silu(a, s, b, g, 1e-6, True)
         )(x, scale, bias))
+        tick("gn fallback compile+run+readback")
         err = np.abs(got - want).max()
         assert np.isfinite(got).all() and err < 1e-4, (
             f"fused GroupNorm diverges from fallback on this chip: "
