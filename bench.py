@@ -223,7 +223,7 @@ def bench_svd(args, sparse=False):
     from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
 
     dtype = jnp.bfloat16
-    b, f = 1, args.frames
+    b, f = args.batch, args.frames
     lh, lw = args.height // 8, args.width // 8
     cls = min(64, lh)  # pooled control latent size (64 at 512^2)
 
@@ -288,15 +288,16 @@ def bench_svd(args, sparse=False):
     tag = "sparse softedge" if sparse else "depth"
     best = timed_runs(run, args.repeats, f"svd {tag}")
     fps = (b * f) / best
-    print(f"# steady-state: {best:.2f}s for {f} frames", file=sys.stderr)
+    print(f"# steady-state: {best:.2f}s for {b}x{f} frames", file=sys.stderr)
     return {
         "metric": f"frames/sec/chip (SVD {tag}-controlled generation, "
-                  f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip"
+                  + (f"batch {b}x" if b > 1 else "")
+                  + f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip"
                   + (", sparse 0/5/10/13" if sparse else "") + ")",
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": (round(fps / TORCH_A100_REFERENCE_FPS_ESTIMATE, 3)
-                        if not sparse else None),
+                        if not sparse and b == 1 else None),
         # measured single-chip speed-of-light for this FLOP graph (v5e op-level
         # ceilings, arithmetic in docs/PERFORMANCE.md "Roofline"): 1.30-1.49 f/s;
         # the >=3x-A100-estimate target (2.25 f/s) exceeds the chip's bf16 peak
@@ -550,6 +551,9 @@ DEFAULTS = {  # (frames, steps, height)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=sorted(CONFIGS), default="svd_depth")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="videos per batch (svd configs): the parity-legal "
+                         "throughput route named by the roofline analysis")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)

@@ -141,9 +141,11 @@ def add_inference_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPars
     add("--evaluation_prompt_file", type=str, default="captions.json")
     add("--num_inference_steps", type=int, default=50)
     add("--guidance_scale", type=float, default=9.0)
-    add("--controlnet_conditioning_scale", type=float, default=1.0)
-    add("--control_guidance_start", type=float, default=0.0)
-    add("--control_guidance_end", type=float, default=0.8)
+    # one value, or one per expert for multi-condition i2vgenxl inference
+    # (reference Union[float, List[float]], `i2vgen_xl_..._pipeline.py:572`)
+    add("--controlnet_conditioning_scale", type=float, nargs="+", default=1.0)
+    add("--control_guidance_start", type=float, nargs="+", default=0.0)
+    add("--control_guidance_end", type=float, nargs="+", default=0.8)
     add("--height", type=int, default=512)
     add("--width", type=int, default=512)
     add("--n_sample_frames", type=int, default=16)

@@ -99,10 +99,16 @@ def evaluate_video(
     condition_frames: Optional[np.ndarray] = None,  # (f, h, w, 3) uint8
     control_type: str = "canny",
     depth_extractor=None,
-) -> Dict[str, float]:
+) -> Dict[str, object]:
     """Per-sample control-fidelity metrics (the paper's spatial-control axis plus a
-    temporal-smoothness proxy). Single images pass ``video`` with f=1."""
-    out: Dict[str, float] = {}
+    temporal-smoothness proxy). Single images pass ``video`` with f=1.
+
+    Schema is stable across environments: every metric applicable to
+    ``control_type`` appears in the output, as ``None`` with a reason appended to
+    ``out["skipped"]`` when it could not be computed (e.g. no local DPT
+    checkpoint) — a metrics file never silently measures less than it claims.
+    """
+    out: Dict[str, object] = {"skipped": []}
     if video.shape[0] > 1:
         out.update(temporal_consistency(video))
     if condition_frames is not None and control_type in ("canny", "scribble", "softedge",
@@ -113,19 +119,52 @@ def evaluate_video(
             canny_control_f1(unit_to_uint8(video[i]), condition_frames[i])
             for i in range(video.shape[0])
         ]
-        out["canny_control_f1"] = float(np.mean(f1s))
+        # For non-canny edge-like types the condition map is NOT a binary canny
+        # edge image, so the number is an edge-agreement proxy, not canny-F1 —
+        # report it under a type-neutral key with the method recorded.
+        out["edge_control_f1"] = float(np.mean(f1s))
+        out["edge_metric_method"] = (
+            f"canny(100,200) re-extraction vs {control_type} condition binarized@127"
+        )
     if condition_frames is not None and control_type == "depth":
         from ..utils.image import unit_to_uint8
 
-        corrs = []
-        for i in range(video.shape[0]):
-            c = depth_control_correlation(
-                unit_to_uint8(video[i]), condition_frames[i], extractor=depth_extractor
+        if depth_extractor is None:
+            # construct the (expensive) DPT estimator ONCE for the whole video,
+            # not per frame
+            from ..conditions.extractors import DepthMidas
+
+            try:
+                depth_extractor = DepthMidas()
+            except Exception as e:
+                logger.warning(
+                    "depth_control_correlation unavailable (no local DPT checkpoint?): %s",
+                    e,
+                )
+        if depth_extractor is None:
+            out["depth_control_correlation"] = None
+            out["skipped"].append(
+                "depth_control_correlation: depth extractor unavailable "
+                "(no local DPT checkpoint)"
             )
-            if c is None:  # extractor unavailable: stop retrying per frame
-                logger.warning("skipping depth correlation (extractor unavailable)")
-                break
-            corrs.append(c)
-        if corrs:
-            out["depth_control_correlation"] = float(np.mean(corrs))
+        else:
+            corrs = []
+            for i in range(video.shape[0]):
+                try:
+                    c = depth_control_correlation(
+                        unit_to_uint8(video[i]), condition_frames[i],
+                        extractor=depth_extractor,
+                    )
+                except Exception as e:
+                    logger.warning("depth extraction failed: %s", e)
+                    break  # a broken extractor will not recover mid-video
+                if c is not None:
+                    corrs.append(c)
+            out["depth_control_correlation"] = (
+                float(np.mean(corrs)) if corrs else None
+            )
+            if not corrs:
+                out["skipped"].append(
+                    "depth_control_correlation: extraction failed on all frames"
+                )
     return out

@@ -33,6 +33,25 @@ import jax.numpy as jnp
 MASK_NEG = 1.0e6
 
 
+class _WeightGate(nn.Module):
+    """One per-block gate: a bias-free ``wg`` Linear, named to mirror the torch
+    checkpoint tree (``down_blocks_router.{i}.wg.weight`` ->
+    ``down_blocks_router_{i}/wg/kernel`` through the production converter)."""
+
+    num_experts: int
+    in_features: int = 1
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.num_experts, use_bias=False, name="wg",
+            kernel_init=nn.initializers.normal(
+                stddev=1.0 / jnp.sqrt(float(self.in_features))),
+            param_dtype=self.param_dtype, dtype=jnp.float32,
+        )(x)
+
+
 class ControlNetRouter(nn.Module):
     num_experts: int = 2
     router_type: str = "simple_weights"  # "equal_weights" | "simple_weights"
@@ -46,16 +65,13 @@ class ControlNetRouter(nn.Module):
         if self.router_type == "equal_weights":
             return jnp.zeros((self.num_experts,), dtype=jnp.float32)
         if self.router_type == "simple_weights":
-            # torch: nn.Linear(1, E, bias=False) applied to the constant 1.0, i.e. the
-            # logits ARE the (E, 1) weight matrix. Kept as an (1, E) flax kernel so
-            # torch->jax conversion (transpose) is uniform with other Dense layers.
-            kernel = self.param(
-                f"{name}_wg_kernel",
-                nn.initializers.normal(stddev=1.0 / jnp.sqrt(1.0)),
-                (1, self.num_experts),
-                self.param_dtype,
-            )
-            return kernel[0].astype(jnp.float32)
+            # torch: nn.Linear(1, E, bias=False) applied to the constant 1.0, i.e.
+            # the logits ARE the weight column. The param nests as
+            # ``{name}/wg/kernel`` so released router checkpoints
+            # (``down_blocks_router.{i}.wg.weight``) load through
+            # ``load_torch_release`` without remapping.
+            gate = _WeightGate(self.num_experts, 1, self.param_dtype, name=name)
+            return gate(jnp.ones((1, 1), jnp.float32))[0].astype(jnp.float32)
         if self.router_type in (
             "timestep_weights", "embedding_weights", "timestep_embedding_weights"
         ):
@@ -67,13 +83,9 @@ class ControlNetRouter(nn.Module):
             x = jnp.asarray(router_input, jnp.float32)
             if x.ndim == 2:  # (B, D): one weight set per call, batch-averaged
                 x = x.mean(axis=0)
-            kernel = self.param(
-                f"{name}_wg_kernel",
-                nn.initializers.normal(stddev=1.0 / jnp.sqrt(x.shape[-1])),
-                (x.shape[-1], self.num_experts),
-                self.param_dtype,
-            )
-            return x @ kernel.astype(jnp.float32)
+            gate = _WeightGate(self.num_experts, x.shape[-1], self.param_dtype,
+                               name=name)
+            return gate(x[None])[0]
         raise ValueError(f"unsupported router_type: {self.router_type}")
 
     @nn.compact

@@ -53,7 +53,7 @@ class I2VGenXLControlNetAdapterPipeline:
     # --------------------------------------------------------------- sampling
     @partial(
         jax.jit,
-        static_argnums=(0, 9, 10, 11, 12, 13, 14, 17, 18),
+        static_argnums=(0, 9, 10, 11, 12, 13, 14, 15, 18, 19),
     )
     def _sample(
         self,
@@ -66,12 +66,13 @@ class I2VGenXLControlNetAdapterPipeline:
         fps: jnp.ndarray,  # (2b,)
         control_images: jnp.ndarray,  # (E, 2b*f, 8s, 8s, 3)
         num_inference_steps: int,
-        window: Tuple[int, int],
+        window: Tuple[int, int],  # union of per-expert windows (scan skip)
+        expert_windows: Tuple[Tuple[int, int], ...],  # per-expert keep windows
         sparse_frames: Optional[Tuple[int, ...]],
         expert_mask: Tuple[bool, ...],  # static; True = active
         skip_conv_in: bool,
         control_latent_size: int,
-        conditioning_scale: jnp.ndarray,
+        conditioning_scale: jnp.ndarray,  # (E,) per-expert scales
         guidance_scale: jnp.ndarray,
         fixed_controlnet_timestep: int = -1,
         guess_mode: bool = False,
@@ -80,6 +81,7 @@ class I2VGenXLControlNetAdapterPipeline:
         b, num_frames, h, w, c = latents.shape
         num_experts = len(expert_mask)
         active = [e for e in range(num_experts) if expert_mask[e]]
+        lo, hi = window
 
         # Router weights are constant across steps for equal/simple router types
         # (reference recomputes identical weights per step, `:971-994`); conditional
@@ -143,9 +145,19 @@ class I2VGenXLControlNetAdapterPipeline:
 
             per_down, per_mid = [], []
             for e in active:
+                # per-expert conditioning scale x per-step keep window
+                # (reference expands scale per expert at `:704-705` and
+                # multiplies scale*keep[i][e] at `:842-850,922`); when the
+                # expert's window equals the scan window the keep factor is
+                # statically 1 inside this branch and is elided.
+                scale_e = conditioning_scale[e]
+                if expert_windows[e] != (lo, hi):
+                    elo, ehi = expert_windows[e]
+                    keep = jnp.logical_and(i >= elo, i < ehi).astype(jnp.float32)
+                    scale_e = scale_e * keep
                 downs, mid = self.controlnet.apply(
                     params[f"controlnet_{e}"], pooled, tb, cn_prompt_rep,
-                    control_images[e], conditioning_scale=conditioning_scale,
+                    control_images[e], conditioning_scale=scale_e,
                     skip_conv_in=skip_conv_in, guess_mode=guess_mode,
                 )
                 per_down.append(downs)
@@ -187,7 +199,6 @@ class I2VGenXLControlNetAdapterPipeline:
         # ONE scan, control window as a lax.cond: the UNet body compiles once instead
         # of once per phase scan (cold-compile wall-clock; see svd.py for rationale).
         # Out-of-window steps skip the ControlNet/adapter entirely (cond branch).
-        lo, hi = window
         if hi > lo:
             res_shapes = jax.eval_shape(compute_residuals, latents, jnp.asarray(0))
 
@@ -244,9 +255,9 @@ class I2VGenXLControlNetAdapterPipeline:
         target_fps: int = 16,
         num_inference_steps: int = 50,
         guidance_scale: float = 9.0,
-        controlnet_conditioning_scale: float = 1.0,
-        control_guidance_start: float = 0.0,
-        control_guidance_end: float = 0.8,
+        controlnet_conditioning_scale: Any = 1.0,  # float | per-expert list
+        control_guidance_start: Any = 0.0,  # float | per-expert list
+        control_guidance_end: Any = 0.8,  # float | per-expert list
         sparse_frames: Optional[Sequence[int]] = None,
         inference_expert_masks: Optional[Sequence[bool]] = None,
         skip_conv_in: bool = False,
@@ -290,16 +301,40 @@ class I2VGenXLControlNetAdapterPipeline:
         expert_mask = tuple(
             bool(m) for m in (inference_expert_masks or [True] * num_experts)
         )
-        window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+
+        # scalar scale/start/end broadcast to every expert; list values apply per
+        # expert (reference `i2vgen_xl_...py:572,704-705`: Union[float, List[float]]
+        # expanded to len(controlnets))
+        def _per_expert(v, name):
+            vals = [float(v)] * num_experts if np.ndim(v) == 0 else [float(x) for x in v]
+            if len(vals) != num_experts:
+                raise ValueError(
+                    f"{name} has {len(vals)} entries for {num_experts} experts")
+            return vals
+
+        scales = _per_expert(controlnet_conditioning_scale,
+                             "controlnet_conditioning_scale")
+        starts = _per_expert(control_guidance_start, "control_guidance_start")
+        ends = _per_expert(control_guidance_end, "control_guidance_end")
+        expert_windows = tuple(
+            control_window(num_inference_steps, s, e) for s, e in zip(starts, ends)
+        )
+        # the scan-level skip window is the union of active experts' windows
+        active_windows = [w_ for w_, m in zip(expert_windows, expert_mask) if m]
+        if active_windows and any(w_[1] > w_[0] for w_ in active_windows):
+            window = (min(w_[0] for w_ in active_windows if w_[1] > w_[0]),
+                      max(w_[1] for w_ in active_windows))
+        else:
+            window = (0, 0)
         fps = jnp.full((2 * b,), float(target_fps), jnp.float32)
 
         latents = self._sample(
             params, latents, prompt_embeds, controlnet_prompt_embeds,
             image_embeddings_cfg, image_latents, fps, control_images,
-            num_inference_steps, window,
+            num_inference_steps, window, expert_windows,
             tuple(int(i) for i in sparse_frames) if sparse_frames is not None else None,
             expert_mask, skip_conv_in, control_latent_size,
-            jnp.asarray(controlnet_conditioning_scale, jnp.float32),
+            jnp.asarray(scales, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32),
             int(fixed_controlnet_timestep),
             # guess_mode: logspace residual ramp inside the ControlNet

@@ -104,14 +104,28 @@ class SDXLControlNetAdapterPipeline:
                 )
             return EulerDiscreteScheduler.step(state, noise_pred, i, lat)
 
+        # exact ControlNet timestep remap u = 1000-(i+1)*(1000//steps)+1
+        # (reference `sdxl_...py:1315-1318`) — shared helper with the SVD
+        # pipeline. At step counts dividing 1000 this coincides with the
+        # leading-spacing EulerDiscrete timesteps; at e.g. 30 steps it does not,
+        # so the remap table is authoritative, not the backbone timestep.
+        # Parity note: the reference computes `controlnet_timesteps` at `:1318`
+        # but then passes the raw scheduler `t` to its ControlNet/adapter —
+        # dead code. We honor the remap (the evident intent; bit-identical for
+        # every released config, all of which use 50 steps) and give the adapter
+        # the same timestep as the ControlNet, matching the training wiring
+        # (`train.py:1222-1311`: both see controlnet_timesteps).
+        from .svd import controlnet_timestep_remap
+
+        cn_timesteps = jnp.asarray(controlnet_timestep_remap(num_inference_steps))
+
         def compute_residuals(lat, i):
-            t = state.timesteps[i]
             lmi = model_input(lat, i)
             # 64x64 latent + 512 control image bridge (reference `:1305-1312`);
             # size parameterized (s, 8s) so tests exercise the contract at small scale.
             s = control_latent_size
             pooled = adaptive_avg_pool2d(lmi, (s, s))
-            tb = jnp.broadcast_to(t, (lmi.shape[0],))
+            tb = jnp.broadcast_to(cn_timesteps[i], (lmi.shape[0],))
             downs, mid = self.controlnet.apply(
                 params["controlnet"], pooled, tb, controlnet_prompt_embeds, control_image,
                 conditioning_scale=conditioning_scale,

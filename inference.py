@@ -392,6 +392,12 @@ def main():
         rng = jax.random.PRNGKey(args.seed)
         rng, latent_rng = jax.random.split(rng)
         t0 = time.time()
+
+        # --controlnet_conditioning_scale/--control_guidance_* accept one value
+        # per expert (nargs="+"); single-expert backbones take the scalar
+        def _scalar(v):
+            return float(v[0]) if isinstance(v, (list, tuple)) else float(v)
+
         if args.model_name == "sdxl":
             sdxl_prompt_embeds, sdxl_pooled = sdxl_text()
             video = pipe.generate(
@@ -403,9 +409,9 @@ def main():
                 height=args.height, width=args.width,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
-                controlnet_conditioning_scale=args.controlnet_conditioning_scale,
-                control_guidance_start=args.control_guidance_start,
-                control_guidance_end=args.control_guidance_end,
+                controlnet_conditioning_scale=_scalar(args.controlnet_conditioning_scale),
+                control_guidance_start=_scalar(args.control_guidance_start),
+                control_guidance_end=_scalar(args.control_guidance_end),
                 guess_mode=args.guess_mode,
                 control_latent_size=ctrl_latent,
             )
@@ -421,6 +427,7 @@ def main():
                 height=args.height, width=args.width, num_frames=f,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
+                controlnet_conditioning_scale=args.controlnet_conditioning_scale,
                 control_guidance_start=args.control_guidance_start,
                 control_guidance_end=args.control_guidance_end,
                 sparse_frames=args.sparse_frames,
@@ -438,6 +445,9 @@ def main():
                 control_images=jnp.asarray(conds[0]),
                 height=args.height, width=args.width, num_frames=f,
                 num_inference_steps=args.num_inference_steps,
+                controlnet_conditioning_scale=_scalar(args.controlnet_conditioning_scale),
+                control_guidance_start=_scalar(args.control_guidance_start),
+                control_guidance_end=_scalar(args.control_guidance_end),
                 sparse_frames=args.sparse_frames,
                 skip_conv_in=args.skip_conv_in,
                 guess_mode=args.guess_mode,
@@ -474,8 +484,12 @@ def main():
             if cond_uint8.shape[1:3] != vid.shape[1:3]:
                 import cv2
 
+                # nearest-neighbor: bilinear would interpolation-shift (and
+                # soften) edge/segment maps, biasing the F1 metric
                 cond_uint8 = np.stack(
-                    [cv2.resize(c, vid.shape[1:3][::-1]) for c in cond_uint8])
+                    [cv2.resize(c, vid.shape[1:3][::-1],
+                                interpolation=cv2.INTER_NEAREST)
+                     for c in cond_uint8])
             metrics = evaluate_video(
                 np.asarray(vid, np.float32), cond_uint8,
                 control_type=args.control_types[0])

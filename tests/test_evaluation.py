@@ -51,5 +51,45 @@ def test_evaluate_video_end_to_end():
     video = rng.random((3, 32, 32, 3))
     cond = (rng.random((3, 32, 32, 3)) > 0.5).astype(np.uint8) * 255
     out = evaluate_video(video, cond, control_type="canny")
-    assert set(out) == {"mean_frame_delta", "max_frame_delta", "canny_control_f1"}
-    assert 0.0 <= out["canny_control_f1"] <= 1.0
+    assert set(out) == {"mean_frame_delta", "max_frame_delta", "edge_control_f1",
+                        "edge_metric_method", "skipped"}
+    assert 0.0 <= out["edge_control_f1"] <= 1.0
+    assert out["skipped"] == []
+
+
+def test_evaluate_video_depth_schema_stable_when_extractor_missing():
+    """Depth metrics must appear as explicit None + a skip reason when the DPT
+    checkpoint is unavailable — never silently omitted (VERDICT r3 weak #5)."""
+
+    class _Unavailable:
+        def __call__(self, imgs):
+            raise RuntimeError("no checkpoint")
+
+    rng = np.random.default_rng(4)
+    video = rng.random((2, 16, 16, 3))
+    cond = (rng.random((2, 16, 16, 3)) * 255).astype(np.uint8)
+    out = evaluate_video(video, cond, control_type="depth",
+                         depth_extractor=_Unavailable())
+    assert "depth_control_correlation" in out
+    assert out["depth_control_correlation"] is None
+    assert any("depth_control_correlation" in s for s in out["skipped"])
+
+
+def test_evaluate_video_depth_with_working_extractor():
+    # identity "extractor" returning the condition itself -> correlation 1.0
+    class _Identity:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, imgs):
+            self.calls += 1
+            return [imgs[0]]
+
+    rng = np.random.default_rng(5)
+    cond = (rng.random((2, 16, 16, 3)) * 255).astype(np.uint8)
+    video = cond.astype(np.float64) / 255.0
+    ext = _Identity()
+    out = evaluate_video(video, cond, control_type="depth", depth_extractor=ext)
+    assert out["depth_control_correlation"] == pytest.approx(1.0, abs=1e-3)
+    assert out["skipped"] == []
+    assert ext.calls == 2  # once per frame, extractor constructed exactly once

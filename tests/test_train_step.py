@@ -100,6 +100,131 @@ def test_train_step_updates_adapter_dp8():
     assert delta > 0
 
 
+def _build_multi_expert(num_frames=2, hw=8, num_experts=2,
+                        router_type="simple_weights"):
+    from ctrl_adapter_tpu.models.router import ControlNetRouter
+
+    cfg = TrainConfig(
+        model_name="i2vgenxl", n_sample_frames=num_frames, control_latent_size=hw,
+        vae_scaling_factor=0.18215, num_experts=num_experts, train_router=True,
+    )
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=ControlNetConfig(
+        block_out_channels=(32, 32, 64, 64), num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24, conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16))
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C", "D", "M"),
+        add_temporal_resnet=True, add_temporal_transformer=True,
+        custom_down_block_channels=THIN_CHANNELS, custom_mid_block_channels=64,
+        attention_head_dim=16)
+    vae = AutoencoderKL(config=VAEConfig(
+        block_out_channels=(16, 16, 16, 16), norm_num_groups=8, layers_per_block=1))
+    router = ControlNetRouter(num_experts=num_experts, router_type=router_type,
+                              num_routers=12, add_mid_block_router=True)
+    return CtrlAdapterTrainer(cfg, unet, cnet, adapter, vae, router=router)
+
+
+def _multi_expert_params_and_batch(trainer, b, f, hw, num_experts=2):
+    trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
+    rng = np.random.default_rng(7)
+    # one frozen tower per expert (distinct weights) + expert-major condition images
+    for e in range(1, num_experts):
+        frozen[f"controlnet_{e}"] = fake_init(
+            trainer.controlnet,
+            jnp.ones((b * f, hw, hw, 4)), jnp.ones((b * f,)),
+            jnp.ones((b * f, 7, 24)), jnp.ones((b * f, 8 * hw, 8 * hw, 3)),
+            seed=100 + e)
+    batch["controlnet_cond"] = jnp.asarray(
+        rng.uniform(0, 1, (num_experts, b * f, 8 * hw, 8 * hw, 3)).astype(np.float32))
+    trainable["router"] = fake_init(trainer.router, None, jnp.ones((num_experts,)))
+    batch["expert_mask"] = jnp.ones((num_experts,), jnp.float32)
+    return trainable, frozen, batch
+
+
+@pytest.mark.slow
+def test_train_step_multi_expert_router_dp8():
+    """Multi-expert training with a trainable router on the dp8 mesh
+    (reference `train.py:1110-1121,1244-1276`): loss finite, router params
+    actually move (nonzero router grads), router weights surface in metrics."""
+    assert jax.device_count() == 8
+    mesh = create_mesh(8)
+    trainer = _build_multi_expert()
+    b, f, hw = 8, 2, 8
+    trainable, frozen, batch = _multi_expert_params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+
+    trainable_r = replicate(mesh, trainable)
+    frozen_r = replicate(mesh, frozen)
+    opt_r = replicate(mesh, opt_state)
+    batch_s = shard_batch(
+        mesh, {k: v for k, v in batch.items()
+               if k not in ("controlnet_cond", "expert_mask")})
+    batch_s["controlnet_cond"] = replicate(mesh, batch["controlnet_cond"])
+    batch_s["expert_mask"] = replicate(mesh, batch["expert_mask"])
+
+    new_trainable, _, metrics = trainer.train_step(
+        trainable_r, opt_r, frozen_r, batch_s, None, jax.random.PRNGKey(0))
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert "down_block_weights" in metrics and "mid_block_weights" in metrics
+    dw = np.asarray(metrics["down_block_weights"])
+    assert dw.shape == (12, 2)
+    np.testing.assert_allclose(dw.sum(axis=-1), 1.0, atol=1e-5)
+    router_delta = jax.tree.reduce(
+        lambda acc, pair: acc + float(jnp.abs(pair).sum()),
+        jax.tree.map(lambda a, b_: a - b_,
+                     new_trainable["router"], trainable_r["router"]), 0.0)
+    assert router_delta > 0, "router gradients must be nonzero"
+
+
+@pytest.mark.slow
+def test_train_step_expert_mask_gates_masked_expert():
+    """With expert_mask = [1, 0], the masked expert's router weight collapses to
+    ~0 (−1e6 logit penalty, reference `ctrl_router.py:96-107`), so its tower's
+    residuals cannot reach the adapter."""
+    trainer = _build_multi_expert()
+    b, f, hw = 2, 2, 8
+    trainable, frozen, batch = _multi_expert_params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+    batch["expert_mask"] = jnp.asarray([1.0, 0.0])
+    _, _, metrics = trainer.train_step(
+        trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    dw = np.asarray(metrics["down_block_weights"])
+    np.testing.assert_allclose(dw[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(dw[:, 1], 0.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_step_mixed_type_tower_swap_no_recompile():
+    """Mixed-type training swaps a different frozen ControlNet into the step input
+    between steps (`train.py:399-406`): same shapes -> the jit cache must hold and
+    the loss must respond to the swapped tower."""
+    trainer = _build(num_frames=2)
+    b, f, hw = 2, 2, 8
+    trainable, frozen, batch = _params_and_batch(trainer, b, f, hw)
+    opt_state = trainer.init_optimizer(trainable)
+
+    cache_size = type(trainer).train_step._cache_size
+    _, _, m1 = trainer.train_step(
+        trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(3))
+    after_first = cache_size()
+
+    cn_args = (jnp.ones((b * f, hw, hw, 4)), jnp.ones((b * f,)),
+               jnp.ones((b * f, 7, 24)), jnp.ones((b * f, 8 * hw, 8 * hw, 3)))
+    frozen["controlnet_0"] = fake_init(trainer.controlnet, *cn_args, seed=42)
+    _, _, m2 = trainer.train_step(
+        trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(3))
+
+    assert cache_size() == after_first, "tower swap must not recompile"
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m1["loss"]) != float(m2["loss"])  # the swapped tower is live
+
+
 @pytest.mark.slow
 def test_train_step_sparse_frames_single_device():
     trainer = _build(num_frames=4)

@@ -100,6 +100,78 @@ def test_i2vgenxl_pipeline_multi_expert_sparse():
 
 
 @pytest.mark.slow
+def test_i2vgenxl_per_expert_scales_and_windows():
+    """List-valued controlnet_conditioning_scale / control_guidance_* apply per
+    expert (reference `i2vgen_xl_..._pipeline.py:572,704-705,922`): with two
+    experts at scales (1.0, 0.0) — or with expert 1's keep window empty — the
+    output must reproduce the single-expert run exactly."""
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=CNET_CFG)
+    adapter = _adapter(temporal=False)
+    vae = AutoencoderKL(config=VAE_CFG)
+    # routerless multi-expert: fusion is the unweighted per-expert sum
+    pipe = I2VGenXLControlNetAdapterPipeline(
+        unet=unet, controlnet=cnet, adapter=adapter, vae=vae, router=None)
+
+    hw = 8
+    prompt = jnp.ones((2 * B, 7, 32)) * 0.1
+    cn_prompt = jnp.ones((2 * B, 7, 24)) * 0.1
+    image_emb = jnp.ones((B, 1, 32)) * 0.1
+    ff_latent = jnp.ones((B, hw, hw, 4)) * 0.1
+    rng_np = np.random.default_rng(11)
+    ctrl2 = jnp.asarray(rng_np.uniform(0, 1, (2, B * F, 64, 64, 3)).astype(np.float32))
+
+    sample = jnp.ones((2 * B, F, hw, hw, 4))
+    il = jnp.ones((2 * B, F, hw, hw, 4))
+    params = {
+        "unet": fake_init(unet, sample, jnp.ones((2 * B,)), jnp.ones((2 * B,)), il,
+                          jnp.ones((2 * B, 1, 32)), prompt),
+        "vae": fake_init(vae, jnp.ones((1, 64, 64, 3))),
+    }
+    pooled = jnp.ones((2 * B * F, hw, hw, 4))
+    cn_args = (pooled, jnp.ones((2 * B * F,)), jnp.ones((2 * B * F, 7, 24)),
+               jnp.ones((2 * B * F, 64, 64, 3)))
+    for e in range(2):
+        params[f"controlnet_{e}"] = fake_init(cnet, *cn_args, seed=e)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet_0"], *cn_args))
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        F, jnp.ones((2 * B * F,)), jnp.ones((1, 1, 32)))
+
+    common = dict(height=hw * 8, width=hw * 8, num_frames=F, num_inference_steps=4,
+                  control_latent_size=hw, output_type="latent")
+
+    single = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl2[:1], control_guidance_end=0.75, **common)
+
+    # (a) expert 1 silenced by per-expert scale 0.0
+    scaled = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl2, controlnet_conditioning_scale=[1.0, 0.0],
+        control_guidance_end=0.75, **common)
+    np.testing.assert_allclose(np.asarray(scaled), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+    # (b) expert 1 silenced by an empty per-expert keep window
+    windowed = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl2, control_guidance_start=[0.0, 0.5],
+        control_guidance_end=[0.75, 0.5], **common)
+    np.testing.assert_allclose(np.asarray(windowed), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+    # (c) both experts live at full scale differs from the single-expert run
+    both = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl2, controlnet_conditioning_scale=[1.0, 1.0],
+        control_guidance_end=0.75, **common)
+    assert not np.allclose(np.asarray(both), np.asarray(single), atol=1e-4)
+
+
+@pytest.mark.slow
 def test_svd_pipeline_latent_skipping():
     unet = UNetSpatioTemporalConditionModel(config=SVDUNetConfig(
         block_out_channels=(32, 32, 64, 64), num_attention_heads=(2, 2, 4, 4),

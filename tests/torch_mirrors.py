@@ -1723,3 +1723,163 @@ class DPTSwinT(nn.Module):
         for m in self.scratch.output_conv[2:]:
             x = m(x)
         return x.squeeze(1)
+
+
+# ----------------------------------------------- Ctrl-Adapter core mirrors
+# Torch mirrors of the trainable core, matching the reference module tree
+# (`model/adapter_spatial_temporal.py`, `model/ctrl_adapter.py`,
+# `model/ctrl_router.py`) so their state_dicts carry the SAME keys a released
+# checkpoint has — used by the file-level release-loading roundtrip test.
+
+
+class AdapterResnetBlock2DT(nn.Module):
+    """Reference fork `model/resnet_block_2d.py` as the adapter instantiates it:
+    ``use_in_shortcut=True`` (1x1 shortcut even at cin==cout), eps=1e-6, no up."""
+
+    def __init__(self, cin, cout, temb, eps=1e-6):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32, cin, eps=eps)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = nn.Linear(temb, cout)
+        self.norm2 = nn.GroupNorm(32, cout, eps=eps)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x, temb, output_size=None):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None]
+        h = self.conv2(F.silu(self.norm2(h)))
+        return self.conv_shortcut(x) + h
+
+
+class AdapterSpatioTemporalT(nn.Module):
+    """Mirror of reference `model/adapter_spatial_temporal.py` with every module
+    enabled (spatial/temporal resnets + transformers + both AlphaBlenders)."""
+
+    def __init__(self, in_channels, out_channels, num_layers=1,
+                 cross_attention_dim=1024, num_attention_heads=8,
+                 attention_head_dim=64):
+        super().__init__()
+        self.num_layers = num_layers
+        self.in_channels = in_channels
+        inner = num_attention_heads * attention_head_dim  # bug-compatible inner_dim
+        heads = in_channels // attention_head_dim
+        self.resnet_time_embedding = TimestepEmbeddingT(in_channels, in_channels)
+        self.norm = nn.GroupNorm(32, in_channels, eps=1e-6)
+        self.transformer_time_embedding = TimestepEmbeddingT(in_channels, inner)
+        self.proj_in = nn.Linear(in_channels, inner)
+        self.proj_out = nn.Linear(inner, in_channels)
+        self.spatial_resnets = nn.ModuleList(
+            [AdapterResnetBlock2DT(in_channels, out_channels, in_channels)
+             for _ in range(num_layers)])
+        self.temporal_resnets = nn.ModuleList(
+            [TemporalResnetBlockT(out_channels, out_channels, in_channels, eps=1e-6)
+             for _ in range(num_layers)])
+        self.spatial_attentions = nn.ModuleList(
+            [BasicTransformerBlockT(inner, heads, attention_head_dim,
+                                    cross_attention_dim)
+             for _ in range(num_layers)])
+        self.temporal_attentions = nn.ModuleList(
+            [TemporalBasicTransformerBlockT(inner, inner, heads, attention_head_dim,
+                                            cross_attention_dim)
+             for _ in range(num_layers)])
+        self.resnets_time_mixer = nn.ModuleList(
+            [AlphaBlenderT(0.5) for _ in range(num_layers)])
+        self.transformers_time_mixer = nn.ModuleList(
+            [AlphaBlenderT(0.5) for _ in range(num_layers)])
+
+    def forward(self, x, num_frames, timestep, encoder_hidden_states):
+        bf, c, h, w = x.shape
+        b = bf // num_frames
+        timestep = timestep.reshape(-1)
+        if timestep.shape[0] != bf:
+            timestep = timestep.repeat_interleave(bf // timestep.shape[0], dim=0)
+        ioi = torch.zeros(b, num_frames)
+        ehs = encoder_hidden_states
+        if ehs.dim() == 2:
+            ehs = ehs.unsqueeze(1)
+        if ehs.shape[0] == 1:
+            ehs = ehs.repeat_interleave(bf, dim=0)
+        for i in range(self.num_layers):
+            temb = self.resnet_time_embedding(
+                timestep_embedding(timestep, c, True, 0.0))
+            x = self.spatial_resnets[i](x, temb)
+            x_mix = x.reshape(b, num_frames, c, h, w).permute(0, 2, 1, 3, 4)
+            x5 = self.temporal_resnets[i](x_mix, temb.reshape(b, num_frames, -1))
+            x5 = self.resnets_time_mixer[i](
+                x_spatial=x_mix, x_temporal=x5, image_only_indicator=ioi)
+            x = x5.permute(0, 2, 1, 3, 4).reshape(bf, c, h, w)
+
+            tc_first = ehs[None, :].reshape(b, num_frames, -1, ehs.shape[-1])[:, 0]
+            time_context = tc_first[None, :].broadcast_to(
+                h * w, b, tc_first.shape[1], ehs.shape[-1]
+            ).reshape(h * w * b, -1, ehs.shape[-1])
+            residual = x
+            xs = self.norm(x).permute(0, 2, 3, 1).reshape(bf, h * w, c)
+            xs = self.proj_in(xs)
+            frame_idx = torch.arange(num_frames).repeat(b, 1).reshape(-1)
+            emb = self.transformer_time_embedding(
+                timestep_embedding(frame_idx.float(), self.in_channels, True, 0.0)
+            )[:, None, :]
+            xs = self.spatial_attentions[i](xs, ehs)
+            xs_mix = xs
+            xs = self.temporal_attentions[i](xs + emb, num_frames, time_context)
+            xs = self.transformers_time_mixer[i](
+                x_spatial=xs_mix, x_temporal=xs, image_only_indicator=ioi)
+            xs = self.proj_out(xs)
+            x = xs.reshape(bf, h, w, c).permute(0, 3, 1, 2) + residual
+        return x
+
+
+class ControlNetAdapterT(nn.Module):
+    """Mirror of reference `model/ctrl_adapter.py`: ``down_blocks_adapter``
+    ModuleList over the active slots + ``mid_block_adapter``."""
+
+    def __init__(self, down_channels, mid_channels, **block_kwargs):
+        super().__init__()
+        self.down_blocks_adapter = nn.ModuleList(
+            [AdapterSpatioTemporalT(ch, ch, **block_kwargs) for ch in down_channels])
+        self.mid_block_adapter = AdapterSpatioTemporalT(
+            mid_channels, mid_channels, **block_kwargs)
+
+    def forward(self, downs, mid, num_frames, timestep, ehs, down_block_ids):
+        outs, idx = [], 0
+        for i, d in enumerate(downs):
+            if i in down_block_ids:
+                outs.append(self.down_blocks_adapter[idx](d, num_frames, timestep, ehs))
+                idx += 1
+            else:
+                outs.append(torch.zeros_like(d))
+        return outs, self.mid_block_adapter(mid, num_frames, timestep, ehs)
+
+
+class SimpleWeightsT(nn.Module):
+    """Reference `model/ctrl_router.py:26-40`: Linear(1, E, bias=False) on 1.0."""
+
+    def __init__(self, num_experts):
+        super().__init__()
+        self.wg = nn.Linear(1, num_experts, bias=False)
+
+    def forward(self):
+        return self.wg(torch.ones(1, 1))
+
+
+class ControlNetRouterT(nn.Module):
+    def __init__(self, num_experts, num_routers=12, add_mid_block_router=True):
+        super().__init__()
+        self.down_blocks_router = nn.ModuleList(
+            [SimpleWeightsT(num_experts) for _ in range(num_routers)])
+        self.mid_block_router = (
+            SimpleWeightsT(num_experts) if add_mid_block_router else None)
+
+    def forward(self, sparse_mask=None):
+        down_logits = torch.cat([r() for r in self.down_blocks_router])  # (R, E)
+        mid_logits = self.mid_block_router()[0] if self.mid_block_router else None
+        if sparse_mask is not None:
+            penalty = (1.0 - sparse_mask) * 1.0e6
+            down_logits = down_logits - penalty[None, :]
+            if mid_logits is not None:
+                mid_logits = mid_logits - penalty
+        down_w = torch.softmax(down_logits, dim=-1)
+        mid_w = torch.softmax(mid_logits, dim=-1) if mid_logits is not None else None
+        return down_w, mid_w

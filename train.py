@@ -445,7 +445,13 @@ def main():
         if batch is not None:
             # real-data validation: current batch's embeddings + conditions
             # (negative CFG halves are zero embeddings, as in training dropout)
-            pe_pos = jnp.asarray(batch["prompt_embeds"][:1])
+            # SVD batches carry no prompt_embeds (text_enc is None for svd and
+            # SVD generate() never consumes them) — fall back to zeros instead
+            # of KeyError-ing the first real-data validation
+            if "prompt_embeds" in batch:
+                pe_pos = jnp.asarray(batch["prompt_embeds"][:1])
+            else:
+                pe_pos = jnp.zeros((1, 77, args.cross_attention_dim))
             cn_pos = jnp.asarray(batch["controlnet_text_emb"][:1])
             image_emb = jnp.asarray(batch.get("image_embeddings",
                                               jnp.zeros((1, 1, 1024)))[:1])
