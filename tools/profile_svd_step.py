@@ -140,13 +140,17 @@ def main():
             lmi = jnp.concatenate([lat, lat], axis=0).astype(DT)
             flat = lmi.reshape(nc, HW, HW, 4)
             pooled = adaptive_avg_pool2d(flat, (HW, HW))
-            downs, mid = cnet.apply(p["cnet"], pooled * 0, jnp.full((nc,), 500.0),
+            # every tower input must depend on the scan carry x, or XLA hoists
+            # the whole cnet+adapter out of the timing loop as loop-invariant
+            # (observed: "composite" 387 ms vs real 594 ms)
+            tvar = jnp.full((nc,), 500.0) + x * 1e-6
+            downs, mid = cnet.apply(p["cnet"], pooled * 0, tvar,
                                     jnp.ones((nc, 77, 768), DT),
                                     jnp.ones((nc, HW * 8, HW * 8, 3), DT),
                                     skip_conv_in=True)
             a_downs, a_mid = adapter.apply(
                 p["adapter"], list(downs), mid, num_frames=F,
-                timestep=jnp.full((nc,), 500.0),
+                timestep=tvar,
                 encoder_hidden_states=jnp.ones((1, 1, 1024), DT))
             unet_in = jnp.concatenate([lmi, sample8[..., :4]], axis=-1)
             out = unet.apply(p["unet"], unet_in, jnp.full((n,), -1.0), image_emb,
