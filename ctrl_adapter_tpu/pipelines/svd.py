@@ -175,16 +175,19 @@ class SVDControlNetAdapterPipeline:
         The chunk size is NUMERICS for the temporal decoder (its (3,1,1) convs
         mix only the frames inside one chunk); the reference defaults to
         decoding all ``num_frames`` at once (`svd_...py:495`), so ``None`` here
-        decodes unchunked — also ~2x faster than chunk=2 on v5e (fewer, larger
-        dispatches). Pass a smaller chunk only to bound decoder activations."""
+        decodes one whole video per chunk — also ~2x faster than chunk=2 on
+        v5e (fewer, larger dispatches). Pass a smaller chunk only to bound
+        decoder activations. Chunks never straddle videos: at batch > 1 each
+        video is chunked independently (the reference only ever decodes one
+        video, so cross-video frame mixing has no reference counterpart)."""
         b, f, h, w, c = latents.shape
-        flat = latents.reshape(b * f, h, w, c) / scaling_factor
-        n = flat.shape[0]
-        chunk = n if decode_chunk_size is None else min(decode_chunk_size, n)
-        pad = (-n) % chunk
+        z = latents / scaling_factor
+        chunk = f if decode_chunk_size is None else min(decode_chunk_size, f)
+        pad = (-f) % chunk
         if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad, h, w, c), flat.dtype)])
-        chunks = flat.reshape(-1, chunk, h, w, c)
+            z = jnp.concatenate(
+                [z, jnp.zeros((b, pad, h, w, c), z.dtype)], axis=1)
+        chunks = z.reshape(b * ((f + pad) // chunk), chunk, h, w, c)
         # SVD's released VAE has a temporal decoder (AutoencoderKLTemporalDecoder,
         # `svd_...py:265-292`); it needs num_frames per chunk. The plain 2D decoder
         # ignores it.
@@ -196,9 +199,8 @@ class SVDControlNetAdapterPipeline:
         else:
             decode = lambda z: self.vae.apply(vae_params, z, method="decode")  # noqa: E731
         video = jax.lax.map(decode, chunks)
-        video = video.reshape(-1, *video.shape[2:])[:n]
-        video = jnp.clip(video / 2 + 0.5, 0.0, 1.0)
-        return video.reshape(b, f, *video.shape[1:])
+        video = video.reshape(b, f + pad, *video.shape[2:])[:, :f]
+        return jnp.clip(video / 2 + 0.5, 0.0, 1.0)
 
     def generate(
         self,

@@ -213,6 +213,28 @@ def test_svd_pipeline_latent_skipping():
     assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+def test_svd_batched_decode_matches_per_video():
+    """SVD temporal-decoder VAE decode at batch>1 must chunk per video: the
+    (3,1,1) temporal convs may only mix frames of the SAME video (the
+    reference `svd_...py:265-292` only ever decodes one video, so cross-video
+    mixing has no reference counterpart). A batch-2 decode must equal two
+    independent single-video decodes, for both the default (whole-video) and
+    an explicit chunk size."""
+    from ctrl_adapter_tpu.models.vae_temporal import AutoencoderKLTemporalDecoder
+
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig(norm_num_groups=8))
+    pipe = SVDControlNetAdapterPipeline(unet=None, controlnet=None, adapter=None, vae=vae)
+    params = fake_init(vae, jnp.ones((1, 32, 32, 3)))
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 4))
+
+    for chunk in (None, 2):
+        batched = pipe._decode(params, lat, 0.18215, chunk)
+        singles = jnp.concatenate(
+            [pipe._decode(params, lat[i:i + 1], 0.18215, chunk) for i in range(2)])
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(singles), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_i2vgenxl_pipeline_conditional_router_trace():
     """Timestep-conditioned router (extension; the reference wires but never
