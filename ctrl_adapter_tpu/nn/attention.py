@@ -91,6 +91,43 @@ class Attention(nn.Module):
         inner_dim = self.heads * self.dim_head
         context = hidden_states if encoder_hidden_states is None else encoder_hidden_states
 
+        from ..ops.flash_attention import attention_bnth, flash_eligible
+
+        if (
+            encoder_hidden_states is None
+            and ip_hidden_states is None
+            and not self.upcast_attention
+            and flash_eligible(hidden_states.shape[1], hidden_states.shape[1], self.dim_head)
+        ):
+            # Flash-bound self-attention: build q/k/v directly in the kernel's
+            # (B, N, T, H) layout by folding the head split into the projection
+            # einsums and the head merge into the output projection. XLA then
+            # emits kernel-layout operands in place of four standalone
+            # (B,T,N,H)<->(B,N,T,H) HBM copies — measured 12.23 -> 11.47 ms for
+            # the whole proj+attn+out module at (28, 4096, 320) on v5e
+            # (tools/sweep_flash.py --module). Params stay nn.Dense-identical
+            # (to_q/to_k/to_v/to_out_0) so checkpoints convert unchanged.
+            x = hidden_states.astype(self.dtype)
+            proj_w = lambda name: _DenseParams(  # noqa: E731
+                inner_dim, name=name, use_bias=False,
+                param_dtype=self.param_dtype,
+            )(x.shape[-1])[0].reshape(
+                x.shape[-1], self.heads, self.dim_head).astype(self.dtype)
+            q = jnp.einsum("btc,cnh->bnth", x, proj_w("to_q"))
+            k = jnp.einsum("btc,cnh->bnth", x, proj_w("to_k"))
+            v = jnp.einsum("btc,cnh->bnth", x, proj_w("to_v"))
+            out = attention_bnth(q, k, v).astype(self.dtype)
+            wo, bo = _DenseParams(
+                self.query_dim, name="to_out_0", use_bias=self.out_bias,
+                param_dtype=self.param_dtype,
+            )(inner_dim)
+            out = jnp.einsum(
+                "bnth,nhd->btd", out,
+                wo.reshape(self.heads, self.dim_head, -1).astype(self.dtype))
+            if bo is not None:
+                out = out + bo.astype(self.dtype)
+            return out
+
         dense = lambda name: nn.Dense(  # noqa: E731
             inner_dim, use_bias=False, name=name, dtype=self.dtype, param_dtype=self.param_dtype
         )

@@ -54,6 +54,48 @@ def _eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     )
 
 
+def flash_eligible(tq: int, tk: int, head_dim: int) -> bool:
+    """True when these (static) attention dims would dispatch to the Pallas
+    flash kernel on the current backend. Callers that know this at trace time
+    can build q/k/v directly in the kernel's (B, N, T, H) layout and call
+    :func:`attention_bnth`, skipping the four head-split transposes the
+    (B, T, N, H) entry point pays."""
+    return (
+        _flash_available()
+        and tq == tk
+        and tq >= MIN_SEQ
+        and tq % _BLOCK == 0
+        and head_dim in (64, 128)
+    )
+
+
+def attention_bnth(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Flash attention over kernel-native (B, N, T, H) tensors.
+
+    Use together with :func:`flash_eligible`; eligibility is NOT re-checked.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    # measured on v5e at the video shapes (B=28, T=4096, H=64): bq 2048 /
+    # bk 1024 runs ~14% faster than 512/512; larger blocks fail to compile
+    # (VMEM) on this part
+    bq = next(bb for bb in (2048, 1024, 512) if q.shape[2] % bb == 0)
+    bkv = next(bb for bb in (1024, 512) if k.shape[2] % bb == 0)
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv,
+        block_k_dkv=bkv, block_q_dkv=bq,
+        block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+    )
+    return flash_attention(
+        q, k, v, causal=False, sm_scale=1.0 / (q.shape[-1] ** 0.5),
+        block_sizes=sizes,
+    )
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """(B, T, N, H) attention; flash kernel on TPU for large self-attention.
 
@@ -79,29 +121,9 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("bnts,bsnh->btnh", p, v)
     if _flash_available() and _eligible(q, k):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            flash_attention,
-        )
-
-        # measured on v5e at the video shapes (B=28, T=4096, H=64): bq 2048 /
-        # bk 1024 runs ~14% faster than 512/512; larger blocks fail to compile
-        # (VMEM) on this part
-        bq = next(bb for bb in (2048, 1024, 512) if q.shape[1] % bb == 0)
-        bkv = next(bb for bb in (1024, 512) if k.shape[1] % bb == 0)
-        sizes = BlockSizes(
-            block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
-            block_q_major_dkv=bq, block_k_major_dkv=bkv,
-            block_k_dkv=bkv, block_q_dkv=bq,
-            block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
-        )
         # kernel layout: (B, N, T, H)
-        qt = q.transpose(0, 2, 1, 3)
-        kt = k.transpose(0, 2, 1, 3)
-        vt = v.transpose(0, 2, 1, 3)
-        out = flash_attention(
-            qt, kt, vt, causal=False, sm_scale=1.0 / (q.shape[-1] ** 0.5),
-            block_sizes=sizes,
-        )
+        out = attention_bnth(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3))
         return out.transpose(0, 2, 1, 3)
     return jax.nn.dot_product_attention(q, k, v)
