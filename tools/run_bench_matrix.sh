@@ -13,7 +13,10 @@ for cfg in svd_depth svd_softedge_sparse i2vgenxl_depth i2vgenxl_multi sdxl_dept
   # the expensive standalone Mosaic recompiles (VERDICT r3 weak #3).
   extra=""
   if [ "$cfg" = "svd_depth" ]; then extra="--full_selfcheck"; fi
-  line=$(timeout 2400 python bench.py --config "$cfg" $extra 2> >(tail -3 >&2) | tail -1)
+  # Full stderr (selfcheck pass/fail lines, compile timings) is preserved in a
+  # committed sidecar log so the recorded matrix carries its numerics evidence.
+  line=$(timeout 2400 python bench.py --config "$cfg" $extra \
+           2> >(tee -a "${out%.jsonl}_log.txt" | tail -3 >&2) | tail -1)
   if [ -n "$line" ]; then
     echo "{\"date\": \"$(date -u +%F)\", \"config\": \"$cfg\", \"result\": $line}" >> "$out"
     echo "$line"
