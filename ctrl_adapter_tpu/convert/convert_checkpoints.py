@@ -84,7 +84,8 @@ def diffusers_config_to_ours(component: str, cfg: Dict[str, Any]) -> Dict[str, A
     raise ValueError(component)
 
 
-def convert_component(src: str, dst: str, component: str) -> None:
+def convert_component(src: str, dst: str, component: str,
+                      validate: bool = False, model_name: str | None = None) -> None:
     weights = _find_weights(src)
     if component in ("text_encoder", "text_encoder_2", "image_encoder"):
         from ..models.clip import convert_clip_state_dict
@@ -94,6 +95,16 @@ def convert_component(src: str, dst: str, component: str) -> None:
         params = convert_state_dict(weights)
     cfg_path = os.path.join(src, "config.json")
     config = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
+
+    if validate:
+        if component in ("text_encoder", "text_encoder_2", "image_encoder"):
+            print(f"validate: skipped for {component} (transformers-config module)")
+        else:
+            from .validate import build_target, validate_params
+
+            module, example_args = build_target(component, config, model_name)
+            n = validate_params(params, module, example_args, label=f"{component} ({src})")
+            print(f"validated {component}: {n} leaves congruent with eval_shape init")
 
     import orbax.checkpoint as ocp
 
@@ -120,11 +131,20 @@ def main():
     ap.add_argument("--components", nargs="+", default=["unet"],
                     choices=["unet", "vae", "controlnet", "adapter", "router",
                              "text_encoder", "text_encoder_2", "image_encoder"])
+    ap.add_argument("--validate", action="store_true",
+                    help="assert the converted tree is path+shape congruent with "
+                         "jax.eval_shape init of the target module (strict-load "
+                         "equivalent of reference `inference.py:216-254`)")
+    ap.add_argument("--model_name", default=None,
+                    choices=["sdxl", "sd15", "svd", "i2vgenxl"],
+                    help="backbone for --components unet (inferred from the "
+                         "config's _class_name when omitted)")
     args = ap.parse_args()
     for comp in args.components:
         sub = os.path.join(args.src, comp)
         src = sub if os.path.isdir(sub) else args.src
-        convert_component(src, args.dst, comp)
+        convert_component(src, args.dst, comp, validate=args.validate,
+                          model_name=args.model_name)
 
 
 if __name__ == "__main__":
