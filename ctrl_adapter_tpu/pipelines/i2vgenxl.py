@@ -134,8 +134,12 @@ class I2VGenXLControlNetAdapterPipeline:
             t = state.timesteps[i].astype(jnp.float32)
             lmi = jnp.concatenate([lat, lat], axis=0)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)
-            s = control_latent_size
-            pooled = adaptive_avg_pool2d(flat, (s, s))
+            # int: pool to (s, s) (use_size_512 path); tuple: native latent size
+            # incl. non-square — no pooling (use_size_512=False,
+            # reference `i2vgen_xl_...py:942`).
+            s = ((control_latent_size, control_latent_size)
+                 if isinstance(control_latent_size, int) else tuple(control_latent_size))
+            pooled = adaptive_avg_pool2d(flat, s)
             # optional constant ControlNet timestep (reference `:952-955`)
             cn_t = (
                 jnp.asarray(float(fixed_controlnet_timestep), jnp.float32)

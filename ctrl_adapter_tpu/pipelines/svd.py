@@ -78,7 +78,12 @@ class SVDControlNetAdapterPipeline:
         cn_timesteps = jnp.asarray(controlnet_timestep_remap(num_inference_steps))
         b, num_frames, h, w, c = latents.shape
         cn_prompt_rep = jnp.repeat(controlnet_prompt_embeds, num_frames, axis=0)
-        adapter_ehs = image_embeddings[-1:]  # positive CLIP image emb, broadcast
+        # Positive CLIP image emb per video, tiled over both CFG halves. For
+        # b=1 this is value-identical to the reference's
+        # `image_embeddings[-1].unsqueeze(0)` broadcast (`svd_...py:716` — its
+        # pipeline hardcodes batch 1); for batched generation each video keeps
+        # its own embedding.
+        adapter_ehs = jnp.tile(image_embeddings[b:], (2, 1, 1))
         use_mid = "M" in self.adapter.adapter_locations
         guidance_b = guidance[None, :, None, None, None]
 
@@ -102,8 +107,14 @@ class SVDControlNetAdapterPipeline:
             lmi = jnp.concatenate([lat, lat], axis=0)
             lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)  # first 4 channels only
-            s = control_latent_size
-            pooled = adaptive_avg_pool2d(flat, (s, s))
+            # use_size_512=True: pool to 64x64 (the SD-v1.5 training statistics,
+            # reference `svd_...py:660-670`); use_size_512=False: the caller
+            # passes the native latent size (possibly non-square) so no pooling
+            # happens and the ControlNet runs at sample resolution
+            # (`ctrl_helper.py:60-70`, `inference.py:433-449`).
+            s = ((control_latent_size, control_latent_size)
+                 if isinstance(control_latent_size, int) else tuple(control_latent_size))
+            pooled = adaptive_avg_pool2d(flat, s)
             u = cn_timesteps[i]
             tb = jnp.broadcast_to(u, (pooled.shape[0],))
             downs, mid = self.controlnet.apply(
@@ -230,6 +241,7 @@ class SVDControlNetAdapterPipeline:
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
         decode_chunk_size: Optional[int] = None,  # None = all frames (ref default)
+        mesh=None,  # jax.sharding.Mesh with a "data" axis: shard the video batch
     ):
         b = image_embeddings.shape[0]
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -256,6 +268,29 @@ class SVDControlNetAdapterPipeline:
         control_images = jnp.concatenate([control_images, control_images], axis=0)
         guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, num_frames)
         window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+
+        if mesh is not None:
+            # Multi-device generation (extension — reference inference is
+            # strictly single-GPU, `inference.py:206`): shard the video batch
+            # over the mesh's `data` axis; params replicate and XLA partitions
+            # the whole denoise scan per device with no cross-device collectives
+            # in the hot loop (each video is independent). Requires b (and 2b,
+            # 2b*f) divisible by the axis size.
+            from ..parallel.mesh import batch_sharding, replicated
+
+            n = mesh.shape["data"]
+            if b % n != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by data-axis size {n}")
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            params = jax.device_put(params, rep)
+            latents = jax.device_put(latents, bs)
+            image_latents = jax.device_put(image_latents, bs)
+            image_embeddings_cfg = jax.device_put(image_embeddings_cfg, bs)
+            controlnet_prompt_embeds = jax.device_put(controlnet_prompt_embeds, bs)
+            added_time_ids = jax.device_put(added_time_ids, bs)
+            control_images = jax.device_put(control_images, bs)
+            guidance = jax.device_put(guidance, rep)
 
         latents = self._sample(
             params, latents, image_latents, image_embeddings_cfg,

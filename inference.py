@@ -316,14 +316,23 @@ def main():
         # SDXL: ControlNet features live at half the backbone latent size — the
         # adapter's first layer upsamples x2 (`ctrl_adapter.py:61-66`); video
         # backbones share the 64x64 latent grid with the ControlNet.
-        ctrl_latent = (min(64, args.height // 16) if args.model_name == "sdxl"
-                       else min(64, args.height // 8))
-        if conds.shape[2] != ctrl_latent * 8:
+        if args.use_size_512:
+            ctrl_latent = (min(64, args.height // 16) if args.model_name == "sdxl"
+                           else min(64, args.height // 8))
+            cond_hw = (ctrl_latent * 8, ctrl_latent * 8)
+        else:
+            # use_size_512=False (`ctrl_helper.py:60-70`, reference
+            # `inference.py:433-449`): no 512 crop/resize — the condition image
+            # stays at the sample's own (possibly non-square) resolution and the
+            # ControlNet consumes the latents unpooled.
+            ctrl_latent = (args.height // 8, args.width // 8)
+            cond_hw = (args.height, args.width)
+        if tuple(conds.shape[2:4]) != cond_hw:
             import cv2
 
-            s8 = ctrl_latent * 8
             conds = np.stack([
-                np.stack([cv2.resize(fr, (s8, s8)) for fr in c]) for c in conds
+                np.stack([cv2.resize(fr, (cond_hw[1], cond_hw[0])) for fr in c])
+                for c in conds
             ])
 
         prompt = captions.get(sample_name, "")
