@@ -107,6 +107,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--run_validation_at_start", type=bool_flag, default=False)
     add("--num_repeats", type=int, default=1,
         help="experimental repeated-adapter aggregation (`ctrl_adapter.py:78-100`)")
+    add("--out_channels", type=int, default=None,
+        help="zero-conv output width for --num_repeats > 1 "
+             "(reference `train.py:337`, `ctrl_adapter.py:208-221`)")
     add("--max_vae_encode", type=int, default=None,
         help="chunk size for VAE encoding inside the train step "
              "(`train.py:1027-1036`); None encodes all frames at once")

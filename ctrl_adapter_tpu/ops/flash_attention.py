@@ -19,6 +19,7 @@ Enabled by default on TPU; set CTRL_ADAPTER_NO_FLASH=1 to force the XLA path.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -27,6 +28,30 @@ import jax.numpy as jnp
 
 MIN_SEQ = 1024
 _BLOCK = 512
+
+# Trace-time flag: inside a differentiated train step the kernel's forward also
+# saves l/m residuals (f32[b,n,t,128] each) and the bq 2048 / bkv 1024 blocks
+# overflow the 16 MB scoped-VMEM stack at the adapter's (8,5,4096,64) shapes
+# (measured: 18.88M > 16.00M, r4 bench_matrix_log). Under grad we drop every
+# block-size slot to 512 — the residual-saving forward and the dkv/dq backward
+# kernels then fit. Inference keeps the measured-faster 2048/1024 blocks.
+_GRAD_SAFE = False
+
+
+@contextlib.contextmanager
+def grad_safe_blocks():
+    """Use VMEM-safe 512-block flash attention (for differentiated callers).
+
+    Trace-time state: wrap the region whose trace should use the small blocks
+    (e.g. the body of a jitted train step) — not the runtime call site.
+    """
+    global _GRAD_SAFE
+    prev = _GRAD_SAFE
+    _GRAD_SAFE = True
+    try:
+        yield
+    finally:
+        _GRAD_SAFE = prev
 
 
 def _flash_available() -> bool:
@@ -81,9 +106,13 @@ def attention_bnth(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 
     # measured on v5e at the video shapes (B=28, T=4096, H=64): bq 2048 /
     # bk 1024 runs ~14% faster than 512/512; larger blocks fail to compile
-    # (VMEM) on this part
-    bq = next(bb for bb in (2048, 1024, 512) if q.shape[2] % bb == 0)
-    bkv = next(bb for bb in (1024, 512) if k.shape[2] % bb == 0)
+    # (VMEM) on this part. Under grad (residual-saving forward + dq/dkv
+    # backward) only 512/512 fits scoped VMEM — see grad_safe_blocks().
+    if _GRAD_SAFE:
+        bq = bkv = 512
+    else:
+        bq = next(bb for bb in (2048, 1024, 512) if q.shape[2] % bb == 0)
+        bkv = next(bb for bb in (1024, 512) if k.shape[2] % bb == 0)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkv,

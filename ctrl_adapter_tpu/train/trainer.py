@@ -31,6 +31,7 @@ import optax
 from ..models.adapter import ControlNetAdapter
 from ..models.controlnet import ControlNetModel
 from ..models.router import ControlNetRouter, build_router_input, fuse_expert_residuals
+from ..ops.flash_attention import grad_safe_blocks
 from ..ops.resize import adaptive_avg_pool2d
 from ..schedulers.ddim import DDIMConfig, DDIMScheduler
 from ..schedulers.euler_discrete import karras_sigmas, sample_training_sigmas_timesteps
@@ -300,6 +301,19 @@ class CtrlAdapterTrainer:
                 dense = jnp.zeros((b * f,) + adapted_mid.shape[1:], adapted_mid.dtype)
                 adapted_mid = dense.at[idx].set(adapted_mid)
 
+        # Experimental num_repeats aggregation returns `num_repeats` residuals
+        # (`ctrl_adapter.py:208-221`). The reference feeds that short list
+        # straight into the UNet, whose zip-injection then TRUNCATES the skip
+        # tuple and crashes the up blocks (`unet_i2vgen_xl.py:681-695`) — the
+        # path cannot actually run there. We diverge minimally: pad with zeros
+        # at the remaining slots (the adapter's own convention for unadapted
+        # slots, `ctrl_adapter.py:193`) so the experiment trains end-to-end.
+        if self.adapter.num_repeats > 1 and len(adapted_down) < len(fused_down):
+            adapted_down = list(adapted_down) + [
+                jnp.zeros((b * f,) + d.shape[1:], adapted_down[0].dtype)
+                for d in fused_down[len(adapted_down):]
+            ]
+
         # frozen backbone UNet (`train.py:1340-1391`)
         if cfg.model_name == "i2vgenxl":
             # frame-position-mask image latents from the clean first-frame latent
@@ -372,9 +386,14 @@ class CtrlAdapterTrainer:
         # enters the jit cache key, so random per-step frame draws compile at most
         # one variant per k (the reference redraws indices every step,
         # `train.py:1280-1291`).
-        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            trainable, frozen, batch, rng, sparse_frames
-        )
+        # grad_safe_blocks: the flash kernel's residual-saving forward + backward
+        # need 512-blocks to fit scoped VMEM (the inference 2048/1024 blocks OOM
+        # under jvp at the adapter's (8,5,4096,64) attention — r4 bench log).
+        # This runs at trace time, so it pins the block choice into this program.
+        with grad_safe_blocks():
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                trainable, frozen, batch, rng, sparse_frames
+            )
         updates, opt_state = self.optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}

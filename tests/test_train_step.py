@@ -267,3 +267,76 @@ def test_sparse_frames_compile_once_per_k():
             trainable, opt_state, frozen, batch, idx, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
     assert cache_size() - before <= len(seen_ks)
+
+
+@pytest.mark.slow
+def test_train_step_num_repeats_aggregation():
+    """--num_repeats 2 --out_channels (reference `train.py:337-338`,
+    `ctrl_adapter.py:78-100,208-221`): the adapter runs 2 repeats over
+    location-A blocks and aggregates each repeat through zero-init 1x1 convs
+    into a 32-wide residual; the trainer zero-pads the remaining slots (the
+    reference's own zip-injection would crash its up blocks, see trainer note).
+    Zero-convs start at 0, so step-0 loss must equal the adapterless loss, and
+    the zero-conv kernels must receive gradient."""
+    cfg = TrainConfig(
+        model_name="i2vgenxl", n_sample_frames=2, control_latent_size=8,
+        vae_scaling_factor=0.18215, num_experts=1,
+    )
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=ControlNetConfig(
+        block_out_channels=(32, 32, 64, 64), num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24, conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16))
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A",),
+        custom_down_block_channels=(32, 32, 32),
+        attention_head_dim=16, num_repeats=2, out_channels=32)
+    vae = AutoencoderKL(config=VAEConfig(
+        block_out_channels=(16, 16, 16, 16), norm_num_groups=8, layers_per_block=1))
+    trainer = CtrlAdapterTrainer(cfg, unet, cnet, adapter, vae)
+
+    b, f, hw = 2, 2, 8
+    frozen = {
+        "unet": fake_init(unet, jnp.ones((b, f, hw, hw, 4)), jnp.ones((b,)),
+                          jnp.ones((b,)), jnp.ones((b, f, hw, hw, 4)),
+                          jnp.ones((b, 1, 32)), jnp.ones((b, 7, 32))),
+        "vae": fake_init(vae, jnp.ones((1, 8 * hw, 8 * hw, 3))),
+    }
+    cn_args = (jnp.ones((b * f, hw, hw, 4)), jnp.ones((b * f,)),
+               jnp.ones((b * f, 7, 24)), jnp.ones((b * f, 8 * hw, 8 * hw, 3)))
+    frozen["controlnet_0"] = fake_init(cnet, *cn_args)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(frozen["controlnet_0"], *cn_args))
+    trainable = {"adapter": fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        f, jnp.ones((b * f,)), jnp.ones((1, 1, 32)))}
+    # fake_init randomizes every leaf; restore the zero-conv semantics under test
+    ap = trainable["adapter"]["params"]
+    zc_names = [k for k in ap if k.startswith("zero_convs_")]
+    assert len(zc_names) == 6, zc_names  # 2 repeats x 3 location-A adapters
+    for k in zc_names:
+        ap[k]["kernel"] = jnp.zeros_like(ap[k]["kernel"])
+        ap[k]["bias"] = jnp.zeros_like(ap[k]["bias"])
+    opt_state = trainer.init_optimizer(trainable)
+
+    rng_np = np.random.default_rng(3)
+    batch = {
+        "frames": jnp.asarray(
+            rng_np.uniform(-1, 1, (b, f, 8 * hw, 8 * hw, 3)).astype(np.float32)),
+        "controlnet_cond": jnp.asarray(
+            rng_np.uniform(0, 1, (1, b * f, 8 * hw, 8 * hw, 3)).astype(np.float32)),
+        "controlnet_text_emb": jnp.ones((b, 7, 24)) * 0.1,
+        "prompt_embeds": jnp.ones((b, 7, 32)) * 0.1,
+        "image_embeddings": jnp.ones((b, 1, 32)) * 0.1,
+    }
+    new_trainable, _, metrics = trainer.train_step(
+        trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # zero-convs moved => gradients flowed through the aggregation path
+    zc_delta = sum(
+        float(jnp.abs(new_trainable["adapter"]["params"][k]["kernel"]
+                      - ap[k]["kernel"]).sum())
+        for k in zc_names)
+    assert zc_delta > 0, "zero-conv kernels must receive gradient"

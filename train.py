@@ -227,7 +227,8 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         add_temporal_resnet=args.add_temporal_resnet and temporal,
         add_spatial_transformer=args.add_spatial_transformer,
         add_temporal_transformer=args.add_temporal_transformer and temporal,
-        num_repeats=getattr(args, "num_repeats", 1),
+        num_repeats=args.num_repeats,
+        out_channels=args.out_channels,
     )
     cnet = ControlNetModel()
     vae = AutoencoderKL(config=VAEConfig(scaling_factor=cfg.vae_scaling_factor))
