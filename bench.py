@@ -262,13 +262,24 @@ def bench_svd(args, sparse=False):
     cn_prompt = jnp.ones((2 * b, 77, 768), dtype) * 0.02
     ctrl_images = jnp.ones((b * f, cls * 8, cls * 8, 3), dtype) * 0.5
 
+    mesh = None
+    if args.mesh:
+        # multi-device generation: batch shards over the `data` axis (one chip
+        # here; the flag is exercised at scale by the CPU-mesh tests and the
+        # driver's virtual-device dryrun)
+        from ctrl_adapter_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(min(args.mesh, jax.device_count()))
+        print(f"# mesh: {mesh.shape} over {len(mesh.devices.flat)} device(s)",
+              file=sys.stderr)
+
     def run(seed, output_type="np"):
         out = pipe.generate(
             params, jax.random.PRNGKey(seed), image_emb, image_latent, cn_prompt,
             ctrl_images, height=args.height, width=args.width, num_frames=f,
             num_inference_steps=args.steps, skip_conv_in=True,
             control_guidance_end=0.8, control_latent_size=cls,
-            sparse_frames=sparse_frames, output_type=output_type,
+            sparse_frames=sparse_frames, output_type=output_type, mesh=mesh,
         )
         force(out)
         return out
@@ -554,6 +565,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="videos per batch (svd configs): the parity-legal "
                          "throughput route named by the roofline analysis")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the svd video batch over an N-device data mesh "
+                         "(0 = single device; batch must divide by N)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)

@@ -1,0 +1,122 @@
+"""Multi-device (data-parallel) generation on the virtual CPU mesh.
+
+The reference's inference is strictly single-GPU (`inference.py:206`); scale-out
+generation is this framework's extension and the roofline-declared route past
+single-chip speed-of-light (docs/PERFORMANCE.md). The video batch shards over
+the ``data`` mesh axis; each video's denoise chain is independent, so XLA
+partitions the whole scan without collectives in the hot loop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ctrl_adapter_tpu.models.adapter import ControlNetAdapter
+from ctrl_adapter_tpu.models.controlnet import ControlNetConfig, ControlNetModel
+from ctrl_adapter_tpu.models.unet_svd import SVDUNetConfig, UNetSpatioTemporalConditionModel
+from ctrl_adapter_tpu.models.vae import AutoencoderKL, VAEConfig
+from ctrl_adapter_tpu.parallel.mesh import create_mesh
+from ctrl_adapter_tpu.pipelines.svd import SVDControlNetAdapterPipeline
+from .utils import fake_init
+
+F = 2
+THIN_CHANNELS = (32, 32, 32, 32, 32, 32, 32, 64, 64, 64, 64, 64)
+
+CNET_CFG = ControlNetConfig(
+    block_out_channels=(32, 32, 64, 64),
+    num_attention_heads=(4, 4, 4, 4),
+    cross_attention_dim=24,
+    conditioning_embedding_out_channels=(8, 8, 16, 16),
+    norm_num_groups=16,
+)
+VAE_CFG = VAEConfig(block_out_channels=(16, 16, 16, 16), norm_num_groups=8,
+                    layers_per_block=1)
+
+
+def _build(b):
+    unet = UNetSpatioTemporalConditionModel(config=SVDUNetConfig(
+        block_out_channels=(32, 32, 64, 64), num_attention_heads=(2, 2, 4, 4),
+        cross_attention_dim=32, addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=24))
+    cnet = ControlNetModel(config=CNET_CFG)
+    adapter = ControlNetAdapter(
+        backbone_model_name="svd", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C", "D", "M"),
+        custom_down_block_channels=THIN_CHANNELS, custom_mid_block_channels=64,
+        attention_head_dim=16)
+    vae = AutoencoderKL(config=VAE_CFG)
+    pipe = SVDControlNetAdapterPipeline(unet=unet, controlnet=cnet, adapter=adapter,
+                                        vae=vae)
+    hw = 8
+    params = {
+        "unet": fake_init(unet, jnp.ones((2 * b, F, hw, hw, 8)), jnp.ones((2 * b,)),
+                          jnp.ones((2 * b, 1, 32)), jnp.ones((2 * b, 3))),
+        "vae": fake_init(vae, jnp.ones((1, 64, 64, 3))),
+    }
+    cn_args = (jnp.ones((2 * b * F, hw, hw, 4)), jnp.ones((2 * b * F,)),
+               jnp.ones((2 * b * F, 7, 24)), jnp.ones((2 * b * F, 64, 64, 3)))
+    params["controlnet"] = fake_init(cnet, *cn_args)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet"], *cn_args))
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        2, jnp.ones((2 * b * F,)), jnp.ones((1, 1, 32)))
+    return pipe, params
+
+
+def _inputs(b, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.standard_normal((b, 1, 32)).astype(np.float32)) * 0.1
+    ilat = jnp.asarray(rng.standard_normal((b, 8, 8, 4)).astype(np.float32)) * 0.1
+    cnp = jnp.ones((2 * b, 7, 24)) * 0.1
+    ctrl = jnp.asarray(rng.uniform(0, 1, (b * F, 64, 64, 3)).astype(np.float32))
+    return emb, ilat, cnp, ctrl
+
+
+def _generate(pipe, params, b, mesh=None, steps=3):
+    emb, ilat, cnp, ctrl = _inputs(b)
+    return pipe.generate(
+        params, jax.random.PRNGKey(5), emb, ilat, cnp, ctrl,
+        height=64, width=64, num_frames=F, num_inference_steps=steps,
+        skip_conv_in=True, control_latent_size=8, mesh=mesh,
+        output_type="latent",
+    )
+
+
+@pytest.mark.slow
+def test_sharded_generation_matches_single_device():
+    """Batch-2 generation sharded over a 2-device data mesh must equal the
+    unsharded single-device run (same rng -> same latents), proving the
+    sharding annotations change placement, not math."""
+    assert jax.device_count() == 8, "conftest must force 8 virtual CPU devices"
+    b = 2
+    pipe, params = _build(b)
+    ref = np.asarray(_generate(pipe, params, b, mesh=None))
+    mesh = create_mesh(2)
+    out = _generate(pipe, params, b, mesh=mesh)
+    assert len(out.sharding.device_set) == 2, "output must stay sharded"
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_generation_batch8_dp8():
+    """Full 8-way scale-out: one video per device, decoded output finite."""
+    b = 8
+    pipe, params = _build(b)
+    mesh = create_mesh(8)
+    emb, ilat, cnp, ctrl = _inputs(b, seed=1)
+    video = pipe.generate(
+        params, jax.random.PRNGKey(7), emb, ilat, cnp, ctrl,
+        height=64, width=64, num_frames=F, num_inference_steps=2,
+        skip_conv_in=True, control_latent_size=8, mesh=mesh,
+    )
+    assert video.shape == (b, F, 64, 64, 3)
+    arr = np.asarray(video)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_indivisible_batch_rejected():
+    pipe, params = _build(1)
+    mesh = create_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        _generate(pipe, params, 1, mesh=mesh)
