@@ -137,7 +137,12 @@ def main():
             if silu:
                 y = jax.nn.silu(y)
             return y.astype(x.dtype)
-        rn.GroupNorm.__call__ = gn_affine_only
+        # raw assignment bypasses flax's wrap_method_once/@compact machinery and
+        # self.param then raises; re-wrap like flax's metaclass does
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
+
+        rn.GroupNorm.__call__ = wrap_method_once(fnn.compact(gn_affine_only))
         try:
             run("gn_affine_only(no stats)")
         finally:

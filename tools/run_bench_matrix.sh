@@ -15,8 +15,14 @@ for cfg in svd_depth svd_softedge_sparse i2vgenxl_depth i2vgenxl_multi sdxl_dept
   if [ "$cfg" = "svd_depth" ]; then extra="--full_selfcheck"; fi
   # Full stderr (selfcheck pass/fail lines, compile timings) is preserved in a
   # committed sidecar log so the recorded matrix carries its numerics evidence.
-  line=$(timeout 2400 python bench.py --config "$cfg" $extra \
-           2> >(tee -a "${out%.jsonl}_log.txt" | tail -3 >&2) | tail -1)
+  # Write stderr to the log SYNCHRONOUSLY (a `2> >(tee ...)` process
+  # substitution is not waited on by bash: blocks from one config could land
+  # after the next config's header, and the final config's tail could be lost)
+  # and echo the per-config header into the log too so blocks are attributable.
+  log="${out%.jsonl}_log.txt"
+  echo "=== $cfg $(date -u +%FT%TZ)" >> "$log"
+  line=$(timeout 2400 python bench.py --config "$cfg" $extra 2>> "$log" | tail -1)
+  tail -3 "$log" >&2
   if [ -n "$line" ]; then
     echo "{\"date\": \"$(date -u +%F)\", \"config\": \"$cfg\", \"result\": $line}" >> "$out"
     echo "$line"
