@@ -69,6 +69,12 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     max_train_steps: int = 50000  # horizon for linear/cosine decay
     max_vae_encode: Optional[int] = None  # chunked VAE encode (`train.py:1027-1036`)
+    # Rematerialize the frozen-UNet and adapter forwards in the backward pass
+    # (reference --gradient_checkpointing, `train.py:676-681`). The frozen UNet
+    # sits between the trainable adapter outputs and the loss, so its backward
+    # runs and its saved activations dominate HBM; without remat the full
+    # 512^2x8f step measures 431M over the 15.75G v5e HBM.
+    gradient_checkpointing: bool = True
 
 
 def _build_lr_schedule(cfg: "TrainConfig"):
@@ -284,10 +290,16 @@ class CtrlAdapterTrainer:
         else:
             adapter_ehs = batch["prompt_embeds"]
 
-        adapted_down, adapted_mid = self.adapter.apply(
-            trainable["adapter"], sel_down, sel_mid,
-            num_frames=adapter_frames, timestep=controlnet_timesteps,
-            encoder_hidden_states=adapter_ehs,
+        def apply_adapter(a_params, downs, mid, ehs):
+            return self.adapter.apply(
+                a_params, downs, mid, num_frames=adapter_frames,
+                timestep=controlnet_timesteps, encoder_hidden_states=ehs,
+            )
+
+        if cfg.gradient_checkpointing:
+            apply_adapter = jax.checkpoint(apply_adapter)
+        adapted_down, adapted_mid = apply_adapter(
+            trainable["adapter"], sel_down, sel_mid, adapter_ehs
         )
 
         # dense re-scatter (`train.py:1314-1331`)
@@ -314,7 +326,12 @@ class CtrlAdapterTrainer:
                 for d in fused_down[len(adapted_down):]
             ]
 
-        # frozen backbone UNet (`train.py:1340-1391`)
+        # frozen backbone UNet (`train.py:1340-1391`). Gradients flow THROUGH
+        # the frozen UNet (trainable residuals feed it), so under
+        # gradient_checkpointing its forward is rematerialized in the backward
+        # instead of saving every activation.
+        apply_unet = (jax.checkpoint(self.unet.apply)
+                      if cfg.gradient_checkpointing else self.unet.apply)
         if cfg.model_name == "i2vgenxl":
             # frame-position-mask image latents from the clean first-frame latent
             ff = latents[:, 0]
@@ -322,7 +339,7 @@ class CtrlAdapterTrainer:
             il = jnp.stack(
                 [ff] + [jnp.ones_like(ff) * sc for sc in scales], axis=1
             )
-            model_pred = self.unet.apply(
+            model_pred = apply_unet(
                 frozen["unet"], noisy_latents, unet_timesteps,
                 jnp.full((b,), float(cfg.output_fps)), il,
                 batch["image_embeddings"], batch["prompt_embeds"],
@@ -336,7 +353,7 @@ class CtrlAdapterTrainer:
                 jnp.asarray([[float(cfg.output_fps - 1), 127.0, cfg.train_noise_aug]]),
                 (b, 1),
             )
-            model_pred = self.unet.apply(
+            model_pred = apply_unet(
                 frozen["unet"], unet_in, unet_timesteps, image_embeddings, added_time_ids,
                 down_block_additional_residuals=adapted_down,
                 mid_block_additional_residual=adapted_mid,
@@ -344,7 +361,7 @@ class CtrlAdapterTrainer:
         elif cfg.model_name == "sdxl":
             added = {"text_embeds": batch["pooled_prompt_embeds"],
                      "time_ids": batch["additional_time_ids"]}
-            model_pred = self.unet.apply(
+            model_pred = apply_unet(
                 frozen["unet"], noisy_latents.reshape(b * f, lh, lw, 4), unet_timesteps,
                 batch["prompt_embeds"], added,
                 down_block_additional_residuals=adapted_down,
@@ -372,7 +389,10 @@ class CtrlAdapterTrainer:
         return loss, aux
 
     # ------------------------------------------------------------------- step
-    @partial(jax.jit, static_argnums=(0,))
+    # trainable params + optimizer state are donated: the step consumes and
+    # returns them, so XLA updates in place instead of double-buffering ~3x the
+    # adapter size in HBM (CPU tests ignore donation with a warning).
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
     def train_step(
         self,
         trainable: Dict[str, Any],

@@ -87,6 +87,8 @@ def test_train_step_updates_adapter_dp8():
     # expert-major tensor shards on axis 1 (batch) — keep replicated for simplicity
     batch_s["controlnet_cond"] = replicate(mesh, batch["controlnet_cond"])
 
+    # train_step donates trainable/opt buffers — snapshot before the call
+    old_np = jax.tree.map(np.asarray, trainable_r)
     new_trainable, new_opt, metrics = trainer.train_step(
         trainable_r, opt_r, frozen_r, batch_s, None, jax.random.PRNGKey(0)
     )
@@ -96,7 +98,7 @@ def test_train_step_updates_adapter_dp8():
     # adapter params actually moved
     delta = jax.tree.reduce(
         lambda acc, pair: acc + float(jnp.abs(pair).sum()),
-        jax.tree.map(lambda a, b_: a - b_, new_trainable, trainable_r), 0.0)
+        jax.tree.map(lambda a, b_: np.asarray(a) - b_, new_trainable, old_np), 0.0)
     assert delta > 0
 
 
@@ -166,6 +168,7 @@ def test_train_step_multi_expert_router_dp8():
     batch_s["controlnet_cond"] = replicate(mesh, batch["controlnet_cond"])
     batch_s["expert_mask"] = replicate(mesh, batch["expert_mask"])
 
+    old_router_np = jax.tree.map(np.asarray, trainable_r["router"])  # donated
     new_trainable, _, metrics = trainer.train_step(
         trainable_r, opt_r, frozen_r, batch_s, None, jax.random.PRNGKey(0))
 
@@ -176,8 +179,8 @@ def test_train_step_multi_expert_router_dp8():
     np.testing.assert_allclose(dw.sum(axis=-1), 1.0, atol=1e-5)
     router_delta = jax.tree.reduce(
         lambda acc, pair: acc + float(jnp.abs(pair).sum()),
-        jax.tree.map(lambda a, b_: a - b_,
-                     new_trainable["router"], trainable_r["router"]), 0.0)
+        jax.tree.map(lambda a, b_: np.asarray(a) - b_,
+                     new_trainable["router"], old_router_np), 0.0)
     assert router_delta > 0, "router gradients must be nonzero"
 
 
@@ -210,7 +213,8 @@ def test_train_step_mixed_type_tower_swap_no_recompile():
     opt_state = trainer.init_optimizer(trainable)
 
     cache_size = type(trainer).train_step._cache_size
-    _, _, m1 = trainer.train_step(
+    # thread the (donated) trainable/opt buffers through the calls
+    trainable, opt_state, m1 = trainer.train_step(
         trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(3))
     after_first = cache_size()
 
@@ -263,7 +267,8 @@ def test_sparse_frames_compile_once_per_k():
     cache_size = type(trainer).train_step._cache_size
     before = cache_size()
     for idx in draws:
-        _, _, metrics = trainer.train_step(
+        # thread the (donated) trainable/opt buffers through the loop
+        trainable, opt_state, metrics = trainer.train_step(
             trainable, opt_state, frozen, batch, idx, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
     assert cache_size() - before <= len(seen_ks)
@@ -331,12 +336,13 @@ def test_train_step_num_repeats_aggregation():
         "prompt_embeds": jnp.ones((b, 7, 32)) * 0.1,
         "image_embeddings": jnp.ones((b, 1, 32)) * 0.1,
     }
+    old_zc = {k: np.asarray(ap[k]["kernel"]) for k in zc_names}  # donated
     new_trainable, _, metrics = trainer.train_step(
         trainable, opt_state, frozen, batch, None, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     # zero-convs moved => gradients flowed through the aggregation path
     zc_delta = sum(
-        float(jnp.abs(new_trainable["adapter"]["params"][k]["kernel"]
-                      - ap[k]["kernel"]).sum())
+        float(np.abs(np.asarray(new_trainable["adapter"]["params"][k]["kernel"])
+                     - old_zc[k]).sum())
         for k in zc_names)
     assert zc_delta > 0, "zero-conv kernels must receive gradient"
