@@ -124,7 +124,12 @@ class SVDControlNetAdapterPipeline:
             )
 
             if sparse_frames is not None:
-                idx = list(sparse_frames) + [p + num_frames for p in sparse_frames]
+                # key-frame rows per video across the (2b, f) CFG-doubled flat
+                # layout (reference `svd_...py:697-707` builds exactly this for
+                # its hardcoded batch 1: [p..., f+p...]; generalized for the
+                # batched-generation extension)
+                idx = [v * num_frames + p
+                       for v in range(2 * b) for p in sparse_frames]
                 idx_arr = jnp.asarray(idx)
                 adapter_frames = len(sparse_frames)
                 downs = [d[idx_arr] for d in downs]

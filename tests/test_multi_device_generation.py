@@ -120,3 +120,32 @@ def test_indivisible_batch_rejected():
     mesh = create_mesh(8)
     with pytest.raises(ValueError, match="not divisible"):
         _generate(pipe, params, 1, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_batched_sparse_equals_single_video_runs():
+    """Sparse key-frame control at batch>1 (extension — the reference pipeline
+    hardcodes batch 1 in its sparse index build, `svd_...py:697-707`): the
+    batch-2 run must equal two independent single-video runs on the same
+    latents, proving the generalized per-video index layout mixes no frames
+    across videos."""
+    b = 2
+    pipe, params = _build(b)
+    emb, ilat, cnp, ctrl = _inputs(b, seed=3)
+    rng = np.random.default_rng(9)
+    lat = jnp.asarray(rng.standard_normal((b, F, 8, 8, 4)).astype(np.float32))
+
+    kw = dict(height=64, width=64, num_frames=F, num_inference_steps=3,
+              skip_conv_in=True, control_latent_size=8, output_type="latent",
+              sparse_frames=(0,))
+    out2 = pipe.generate(params, jax.random.PRNGKey(0), emb, ilat, cnp, ctrl,
+                         latents=lat, **kw)
+    singles = []
+    for i in range(b):
+        cnp_i = cnp[jnp.asarray([i, b + i])]  # [neg_i; pos_i]
+        out1 = pipe.generate(
+            params, jax.random.PRNGKey(0), emb[i:i + 1], ilat[i:i + 1], cnp_i,
+            ctrl[i * F:(i + 1) * F], latents=lat[i:i + 1], **kw)
+        singles.append(np.asarray(out1))
+    np.testing.assert_allclose(np.asarray(out2), np.concatenate(singles),
+                               rtol=2e-4, atol=2e-4)
