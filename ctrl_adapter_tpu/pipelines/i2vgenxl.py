@@ -114,7 +114,10 @@ class I2VGenXLControlNetAdapterPipeline:
             down_w = mid_w = None  # routerless: unweighted expert sum
 
         cn_prompt_rep = jnp.repeat(controlnet_prompt_embeds, num_frames, axis=0)
-        adapter_ehs = image_embeddings[-1:]  # (1, 1, 1024), broadcast in adapter
+        # positive CLIP image emb per video, tiled over both CFG halves —
+        # value-identical at b=1 to the reference's `image_embeddings[-1]`
+        # broadcast (`i2vgen_xl_...py:1049`, whose pipeline hardcodes batch 1)
+        adapter_ehs = jnp.tile(image_embeddings[b:], (2, 1, 1))
 
         use_mid = "M" in self.adapter.adapter_locations
 
@@ -171,7 +174,10 @@ class I2VGenXLControlNetAdapterPipeline:
 
             # sparse key-frame selection (static indices; CFG doubling `:1025-1033`)
             if sparse_frames is not None:
-                idx = list(sparse_frames) + [p + num_frames for p in sparse_frames]
+                # key-frame rows per video across the (2b, f) CFG layout
+                # (reference `:1025-1033` builds this for its batch-1 case)
+                idx = [v * num_frames + p
+                       for v in range(2 * b) for p in sparse_frames]
                 idx_arr = jnp.asarray(idx)
                 adapter_frames = len(sparse_frames)
                 sel_down = [d[idx_arr] for d in fused_down]
@@ -272,6 +278,7 @@ class I2VGenXLControlNetAdapterPipeline:
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
         return_router_weights: bool = False,
+        mesh=None,  # jax.sharding.Mesh with a "data" axis: shard the video batch
     ):
         b = image_embeddings.shape[0]
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -331,6 +338,29 @@ class I2VGenXLControlNetAdapterPipeline:
         else:
             window = (0, 0)
         fps = jnp.full((2 * b,), float(target_fps), jnp.float32)
+
+        if mesh is not None:
+            # Multi-device generation (extension; see pipelines/svd.py): video
+            # batch shards over `data`, params replicate; control_images is
+            # expert-major so its batch axis is axis 1.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import batch_sharding, replicated
+
+            n = mesh.shape["data"]
+            if b % n != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by data-axis size {n}")
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            params = jax.device_put(params, rep)
+            latents = jax.device_put(latents, bs)
+            prompt_embeds = jax.device_put(prompt_embeds, bs)
+            controlnet_prompt_embeds = jax.device_put(controlnet_prompt_embeds, bs)
+            image_embeddings_cfg = jax.device_put(image_embeddings_cfg, bs)
+            image_latents = jax.device_put(image_latents, bs)
+            fps = jax.device_put(fps, bs)
+            control_images = jax.device_put(
+                control_images, NamedSharding(mesh, P(None, "data")))
 
         latents = self._sample(
             params, latents, prompt_embeds, controlnet_prompt_embeds,

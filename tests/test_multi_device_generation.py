@@ -149,3 +149,65 @@ def test_batched_sparse_equals_single_video_runs():
         singles.append(np.asarray(out1))
     np.testing.assert_allclose(np.asarray(out2), np.concatenate(singles),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_i2vgenxl_sharded_generation_matches_single_device():
+    """I2VGen-XL multi-expert generation sharded over a 2-device data mesh
+    equals the unsharded run (expert-major control images shard on axis 1)."""
+    from ctrl_adapter_tpu.models.router import ControlNetRouter
+    from ctrl_adapter_tpu.models.unet_i2vgen import I2VGenXLUNet, I2VGenXLUNetConfig
+    from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
+
+    b = 2
+    unet = I2VGenXLUNet(config=I2VGenXLUNetConfig(
+        block_out_channels=(32, 32, 64, 64), norm_num_groups=16,
+        cross_attention_dim=32, attention_head_dim=16))
+    cnet = ControlNetModel(config=CNET_CFG)
+    adapter = ControlNetAdapter(
+        backbone_model_name="i2vgenxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C", "D", "M"),
+        custom_down_block_channels=THIN_CHANNELS, custom_mid_block_channels=64,
+        attention_head_dim=16)
+    vae = AutoencoderKL(config=VAE_CFG)
+    router = ControlNetRouter(num_experts=2, router_type="simple_weights")
+    pipe = I2VGenXLControlNetAdapterPipeline(
+        unet=unet, controlnet=cnet, adapter=adapter, vae=vae, router=router)
+
+    hw = 8
+    rng = np.random.default_rng(4)
+    prompt = jnp.ones((2 * b, 7, 32)) * 0.1
+    cn_prompt = jnp.ones((2 * b, 7, 24)) * 0.1
+    image_emb = jnp.asarray(rng.standard_normal((b, 1, 32)).astype(np.float32)) * 0.1
+    ff_latent = jnp.asarray(rng.standard_normal((b, hw, hw, 4)).astype(np.float32)) * 0.1
+    ctrl = jnp.asarray(rng.uniform(0, 1, (2, b * F, 64, 64, 3)).astype(np.float32))
+
+    sample = jnp.ones((2 * b, F, hw, hw, 4))
+    il = jnp.ones((2 * b, F, hw, hw, 4))
+    params = {
+        "unet": fake_init(unet, sample, jnp.ones((2 * b,)), jnp.ones((2 * b,)), il,
+                          jnp.ones((2 * b, 1, 32)), prompt),
+        "vae": fake_init(vae, jnp.ones((1, 64, 64, 3))),
+        "router": router.init(jax.random.PRNGKey(0)),
+    }
+    cn_args = (jnp.ones((2 * b * F, hw, hw, 4)), jnp.ones((2 * b * F,)),
+               jnp.ones((2 * b * F, 7, 24)), jnp.ones((2 * b * F, 64, 64, 3)))
+    for e in range(2):
+        params[f"controlnet_{e}"] = fake_init(cnet, *cn_args, seed=e)
+    downs_s, mid_s = jax.eval_shape(lambda: cnet.apply(params["controlnet_0"], *cn_args))
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], jnp.zeros(mid_s.shape),
+        F, jnp.ones((2 * b * F,)), jnp.ones((1, 1, 32)))
+
+    kw = dict(height=64, width=64, num_frames=F, num_inference_steps=3,
+              control_guidance_end=0.67, control_latent_size=hw,
+              output_type="latent")
+    ref = np.asarray(pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl, **kw))
+    mesh = create_mesh(2)
+    out = pipe.generate(
+        params, jax.random.PRNGKey(1), prompt, cn_prompt, image_emb, ff_latent,
+        ctrl, mesh=mesh, **kw)
+    assert len(out.sharding.device_set) == 2
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

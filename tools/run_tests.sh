@@ -39,8 +39,8 @@ run_group pipelines 1200 tests/test_video_pipelines.py tests/test_sdxl_pipeline.
                          -m slow
 run_group golden     900 tests/test_golden_regression.py tests/test_release_roundtrip.py \
                          -m slow
-run_group training   900 tests/test_train_step.py -m slow
-run_group scale_out  900 tests/test_multi_device_generation.py \
+run_group training  1500 tests/test_train_step.py -m slow
+run_group scale_out 1200 tests/test_multi_device_generation.py \
                          tests/test_native_control_size.py -m slow
 run_group convert    600 tests/test_convert_validate.py -m slow
 
