@@ -97,6 +97,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     add("--noise_offset", type=float, default=0.05)
     add("--snr_gamma", type=float, default=None)
     add("--latent_nan_checking", type=bool_flag, default=False)
+    add("--gradient_checkpointing", type=bool_flag, default=True,
+        help="rematerialize the frozen-UNet/adapter forwards in the backward (reference `train.py:676-681`); required to fit the full 512^2 step in v5e HBM, so on by default here")
     add("--max_train_steps", type=int, default=50000)
     add("--gradient_accumulation_steps", type=int, default=1)
     add("--checkpointing_steps", type=int, default=2000)

@@ -190,6 +190,7 @@ class SDXLControlNetAdapterPipeline:
         control_latent_size: int = 64,
         output_type: str = "pil",
         ip_adapter_image_embeds: Optional[jnp.ndarray] = None,  # (b, d) CLIP image embeds
+        mesh=None,  # jax.sharding.Mesh with a "data" axis: shard the image batch
     ):
         """Host-level wrapper: prepares CFG batches/latents, runs the jitted phases."""
         batch = prompt_embeds.shape[0] // 2
@@ -230,6 +231,27 @@ class SDXLControlNetAdapterPipeline:
                     [jnp.zeros_like(image_embeds), image_embeds], axis=0)
 
         window = control_window(num_inference_steps, control_guidance_start, control_guidance_end)
+        if mesh is not None:
+            # Multi-device generation (extension; see pipelines/svd.py): image
+            # batch shards over `data`, params replicate.
+            from ..parallel.mesh import batch_sharding, replicated
+
+            n = mesh.shape["data"]
+            if batch % n != 0:
+                raise ValueError(
+                    f"batch {batch} not divisible by data-axis size {n}")
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            params = jax.device_put(params, rep)
+            latents = jax.device_put(latents, bs)
+            prompt_embeds = jax.device_put(prompt_embeds, bs)
+            add_text_embeds = jax.device_put(add_text_embeds, bs)
+            add_time_ids = jax.device_put(add_time_ids, bs)
+            controlnet_prompt_embeds = jax.device_put(controlnet_prompt_embeds, bs)
+            control_image = jax.device_put(control_image, bs)
+            if timestep_cond is not None:
+                timestep_cond = jax.device_put(timestep_cond, bs)
+            if image_embeds is not None:
+                image_embeds = jax.device_put(image_embeds, bs)
         latents = self._sample(
             params, latents, prompt_embeds, add_text_embeds, add_time_ids,
             controlnet_prompt_embeds, control_image, num_inference_steps, window,

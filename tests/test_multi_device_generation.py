@@ -211,3 +211,76 @@ def test_i2vgenxl_sharded_generation_matches_single_device():
         ctrl, mesh=mesh, **kw)
     assert len(out.sharding.device_set) == 2
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sdxl_sharded_generation_matches_single_device():
+    """SDXL batch-2 generation sharded over a 2-device data mesh equals the
+    unsharded run."""
+    from ctrl_adapter_tpu.models.unet_2d import UNet2DConfig, UNet2DConditionModel
+    from ctrl_adapter_tpu.pipelines.sdxl import SDXLControlNetAdapterPipeline
+
+    unet_cfg = UNet2DConfig(
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+        block_out_channels=(32, 64, 64), transformer_layers_per_block=(1, 2, 2),
+        num_attention_heads=(2, 2, 2), cross_attention_dim=32,
+        use_linear_projection=True, norm_num_groups=16,
+        addition_embed_type="text_time", addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 48,
+    )
+    cnet_cfg = ControlNetConfig(
+        block_out_channels=(32, 64, 64, 64), num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24, conditioning_embedding_out_channels=(8, 8, 16, 16),
+        norm_num_groups=16,
+    )
+    unet = UNet2DConditionModel(config=unet_cfg)
+    cnet = ControlNetModel(config=cnet_cfg)
+    adapter = ControlNetAdapter(
+        backbone_model_name="sdxl", num_blocks=1, num_adapters_per_location=3,
+        cross_attention_dim=32, adapter_locations=("A", "B", "C"),
+        add_temporal_resnet=False, add_temporal_transformer=False,
+        custom_down_block_channels=(32, 32, 32, 32, 64, 64, 64, 64, 64),
+        attention_head_dim=16,
+    )
+    vae = AutoencoderKL(config=VAE_CFG)
+    pipe = SDXLControlNetAdapterPipeline(unet=unet, controlnet=cnet,
+                                         adapter=adapter, vae=vae)
+
+    b, latent_hw = 2, 16
+    rng = np.random.default_rng(6)
+    prompt_embeds = jnp.asarray(
+        rng.standard_normal((2 * b, 7, 32)).astype(np.float32)) * 0.1
+    add_text_embeds = jnp.ones((2 * b, 16)) * 0.1
+    cn_prompt = jnp.ones((2 * b, 7, 24)) * 0.1
+    control_image = jnp.asarray(
+        rng.uniform(0, 1, (b, 64, 64, 3)).astype(np.float32))
+
+    sample = jnp.ones((2 * b, latent_hw, latent_hw, 4))
+    t = jnp.zeros((2 * b,))
+    pooled8 = jnp.ones((2 * b, 8, 8, 4))
+    params = {
+        "unet": fake_init(unet, sample, t, prompt_embeds,
+                          {"text_embeds": add_text_embeds,
+                           "time_ids": jnp.ones((2 * b, 6))}),
+        "controlnet": fake_init(cnet, pooled8, t, cn_prompt,
+                                jnp.ones((2 * b, 64, 64, 3))),
+        "vae": fake_init(vae, jnp.ones((b, 64, 64, 3))),
+    }
+    downs_s, _ = jax.eval_shape(lambda: cnet.apply(
+        params["controlnet"], pooled8, t, cn_prompt, jnp.ones((2 * b, 64, 64, 3))))
+    params["adapter"] = fake_init(
+        adapter, [jnp.zeros(s.shape) for s in downs_s], None, 1, t, prompt_embeds)
+
+    kw = dict(height=latent_hw * 8, width=latent_hw * 8, num_inference_steps=4,
+              guidance_scale=7.5, control_guidance_end=0.5, control_latent_size=8,
+              output_type="latent")
+    ref = np.asarray(pipe.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, **kw))
+    mesh = create_mesh(2)
+    out = pipe.generate(
+        params, jax.random.PRNGKey(0), prompt_embeds, add_text_embeds, cn_prompt,
+        control_image, mesh=mesh, **kw)
+    assert len(out.sharding.device_set) == 2
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

@@ -215,6 +215,7 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         lr_warmup_steps=getattr(args, "lr_warmup_steps", 0),
         max_train_steps=args.max_train_steps,
         max_vae_encode=getattr(args, "max_vae_encode", None),
+        gradient_checkpointing=getattr(args, "gradient_checkpointing", True),
     )
     temporal = args.model_name in ("i2vgenxl", "svd")
     adapter = ControlNetAdapter(
