@@ -327,7 +327,7 @@ def bench_i2vgenxl(args, multi=False):
     from ctrl_adapter_tpu.pipelines.i2vgenxl import I2VGenXLControlNetAdapterPipeline
 
     dtype = jnp.bfloat16
-    b, f = 1, args.frames
+    b, f = args.batch, args.frames
     lh, lw = args.height // 8, args.width // 8
     cls = min(64, lh)
     num_experts = 7 if multi else 1
@@ -474,7 +474,7 @@ def bench_train(args):
     from ctrl_adapter_tpu.train.trainer import CtrlAdapterTrainer, TrainConfig
 
     dtype = jnp.bfloat16
-    b, f = 1, args.frames
+    b, f = args.batch, args.frames
     lh = args.height // 8
     cls = min(64, lh)
 
@@ -535,6 +535,7 @@ def bench_train(args):
         "metric": f"train steps/sec/chip (I2VGen-XL depth adapter training, "
                   f"batch {b}x{f}f {args.height}x{args.width}, AdamW)",
         "value": round(1.0 / best, 4),
+        "videos_per_sec": round(b / best, 4),
         "unit": "steps/sec",
         "vs_baseline": None,
     }
