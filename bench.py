@@ -264,12 +264,16 @@ def bench_svd(args, sparse=False):
 
     mesh = None
     if args.mesh:
-        # multi-device generation: batch shards over the `data` axis (one chip
-        # here; the flag is exercised at scale by the CPU-mesh tests and the
-        # driver's virtual-device dryrun)
+        # multi-device generation: batch shards over the `data` axis. The flag
+        # is exercised at scale by the CPU-mesh tests and the driver's
+        # virtual-device dryrun; demanding more devices than exist is an error
+        # (a silent clamp would record an N-device claim that ran on fewer).
+        if args.mesh > jax.device_count():
+            raise SystemExit(
+                f"--mesh {args.mesh} but only {jax.device_count()} device(s)")
         from ctrl_adapter_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh(min(args.mesh, jax.device_count()))
+        mesh = create_mesh(args.mesh)
         print(f"# mesh: {mesh.shape} over {len(mesh.devices.flat)} device(s)",
               file=sys.stderr)
 
@@ -304,7 +308,8 @@ def bench_svd(args, sparse=False):
         "metric": f"frames/sec/chip (SVD {tag}-controlled generation, "
                   + (f"batch {b}x" if b > 1 else "")
                   + f"{f}f {args.steps}steps {args.height}x{args.width}, CFG, latent-skip"
-                  + (", sparse 0/5/10/13" if sparse else "") + ")",
+                  + (", sparse 0/5/10/13" if sparse else "")
+                  + (f", {args.mesh}-device mesh" if mesh is not None else "") + ")",
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": (round(fps / TORCH_A100_REFERENCE_FPS_ESTIMATE, 3)

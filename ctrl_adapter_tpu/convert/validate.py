@@ -104,8 +104,7 @@ def build_target(
         from .convert_checkpoints import diffusers_config_to_ours
 
         ours = diffusers_config_to_ours("vae", cfg) if cfg else {}
-        vcfg = VAEConfig(**{k: v for k, v in ours.items()
-                            if k in {f.name for f in dataclasses.fields(VAEConfig)}})
+        vcfg = VAEConfig(**_filter_fields(VAEConfig, ours))
         if cls_name == "AutoencoderKLTemporalDecoder" or model_name == "svd":
             from ..models.vae_temporal import AutoencoderKLTemporalDecoder
 

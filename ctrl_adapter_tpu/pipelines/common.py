@@ -43,6 +43,18 @@ def control_window(
     return lo, hi
 
 
+def normalize_control_latent_size(s) -> Tuple[int, int]:
+    """``control_latent_size`` as an (h, w) tuple.
+
+    int: pool the ControlNet's latent input to (s, s) — the use_size_512 path
+    (64 at the SD-v1.5 training statistics). tuple: the native latent size,
+    possibly non-square — no pooling, the ControlNet runs at sample resolution
+    (use_size_512=False, reference `ctrl_helper.py:60-70`, pipelines'
+    ``(h,w) != (64,64) and use_size_512`` guards).
+    """
+    return (s, s) if isinstance(s, int) else tuple(s)
+
+
 def classifier_free_guidance(noise_pred: jnp.ndarray, guidance_scale) -> jnp.ndarray:
     """Split a CFG-doubled batch [uncond; cond] and combine."""
     uncond, cond = jnp.split(noise_pred, 2, axis=0)

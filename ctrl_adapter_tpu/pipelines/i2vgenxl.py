@@ -34,7 +34,11 @@ from ..models.unet_i2vgen import I2VGenXLUNet
 from ..models.vae import AutoencoderKL
 from ..ops.resize import adaptive_avg_pool2d
 from ..schedulers.ddim import DDIMConfig, DDIMScheduler
-from .common import classifier_free_guidance, control_window
+from .common import (
+    classifier_free_guidance,
+    control_window,
+    normalize_control_latent_size,
+)
 
 
 @dataclass(eq=False)
@@ -97,10 +101,13 @@ class I2VGenXLControlNetAdapterPipeline:
 
         def router_weights(t):
             # embedding router types consume the CLIP *image* embedding, positive
-            # CFG half (reference `i2vgen_xl_...py:982-988` image_embeddings[-1]);
+            # CFG half (reference `i2vgen_xl_...py:982-988` image_embeddings[-1],
+            # batch-1 only). The router emits ONE weight set per call, so for
+            # batched generation it consumes the whole positive half —
+            # build_router_input batch-averages it; identical at b=1.
             router_in = build_router_input(
                 self.router.router_type, jnp.broadcast_to(t, (1,)),
-                image_embeddings[-1:],
+                image_embeddings[b:],
             )
             dwf, mwf = self.router.apply(params["router"], router_in, sparse_mask=mask_arr)
             return dwf[:, active_arr], (mwf[active_arr] if mwf is not None else None)
@@ -137,11 +144,7 @@ class I2VGenXLControlNetAdapterPipeline:
             t = state.timesteps[i].astype(jnp.float32)
             lmi = jnp.concatenate([lat, lat], axis=0)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)
-            # int: pool to (s, s) (use_size_512 path); tuple: native latent size
-            # incl. non-square — no pooling (use_size_512=False,
-            # reference `i2vgen_xl_...py:942`).
-            s = ((control_latent_size, control_latent_size)
-                 if isinstance(control_latent_size, int) else tuple(control_latent_size))
+            s = normalize_control_latent_size(control_latent_size)
             pooled = adaptive_avg_pool2d(flat, s)
             # optional constant ControlNet timestep (reference `:952-955`)
             cn_t = (

@@ -34,6 +34,7 @@ from .common import (
     classifier_free_guidance_rescaled,
     control_window,
     guidance_scale_embedding,
+    normalize_control_latent_size,
     sdxl_add_time_ids,
 )
 
@@ -123,9 +124,8 @@ class SDXLControlNetAdapterPipeline:
             lmi = model_input(lat, i)
             # 64x64 latent + 512 control image bridge (reference `:1305-1312`);
             # size parameterized (s, 8s) so tests exercise the contract at small scale.
-            s = ((control_latent_size, control_latent_size)
-                 if isinstance(control_latent_size, int) else tuple(control_latent_size))
-            pooled = adaptive_avg_pool2d(lmi, s)  # tuple = native size, no pooling
+            s = normalize_control_latent_size(control_latent_size)
+            pooled = adaptive_avg_pool2d(lmi, s)
             tb = jnp.broadcast_to(cn_timesteps[i], (lmi.shape[0],))
             downs, mid = self.controlnet.apply(
                 params["controlnet"], pooled, tb, controlnet_prompt_embeds, control_image,

@@ -31,7 +31,7 @@ from ..models.unet_svd import UNetSpatioTemporalConditionModel
 from ..models.vae import AutoencoderKL
 from ..ops.resize import adaptive_avg_pool2d
 from ..schedulers.euler_discrete import SVD_EULER_CONFIG, EulerDiscreteScheduler
-from .common import control_window
+from .common import control_window, normalize_control_latent_size
 
 
 def controlnet_timestep_remap(num_inference_steps: int) -> np.ndarray:
@@ -107,13 +107,7 @@ class SVDControlNetAdapterPipeline:
             lmi = jnp.concatenate([lat, lat], axis=0)
             lmi = EulerDiscreteScheduler.scale_model_input(state, lmi, i)
             flat = lmi.reshape(2 * b * num_frames, h, w, c)  # first 4 channels only
-            # use_size_512=True: pool to 64x64 (the SD-v1.5 training statistics,
-            # reference `svd_...py:660-670`); use_size_512=False: the caller
-            # passes the native latent size (possibly non-square) so no pooling
-            # happens and the ControlNet runs at sample resolution
-            # (`ctrl_helper.py:60-70`, `inference.py:433-449`).
-            s = ((control_latent_size, control_latent_size)
-                 if isinstance(control_latent_size, int) else tuple(control_latent_size))
+            s = normalize_control_latent_size(control_latent_size)
             pooled = adaptive_avg_pool2d(flat, s)
             u = cn_timesteps[i]
             tb = jnp.broadcast_to(u, (pooled.shape[0],))

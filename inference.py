@@ -320,6 +320,16 @@ def main():
             ctrl_latent = (min(64, args.height // 16) if args.model_name == "sdxl"
                            else min(64, args.height // 8))
             cond_hw = (ctrl_latent * 8, ctrl_latent * 8)
+        elif args.model_name == "sdxl":
+            # Native-resolution control on SDXL: the adapter ALWAYS upsamples
+            # its residuals x2 (`ctrl_adapter.py:61-66`), so the control grid
+            # must sit at HALF the backbone latent grid — scaled with the
+            # sample instead of fixed at 64/512. (The reference's own
+            # use_size_512=False SDXL path would feed full-latent-size features
+            # through the x2 upsample and crash the injection; this is the
+            # coherent native-size mapping for the trained-adapter contract.)
+            ctrl_latent = (args.height // 16, args.width // 16)
+            cond_hw = (args.height // 2, args.width // 2)
         else:
             # use_size_512=False (`ctrl_helper.py:60-70`, reference
             # `inference.py:433-449`): no 512 crop/resize — the condition image
