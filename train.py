@@ -218,6 +218,11 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         gradient_checkpointing=getattr(args, "gradient_checkpointing", True),
     )
     temporal = args.model_name in ("i2vgenxl", "svd")
+    # --mixed_precision bf16 (the default, reference `train.py:379-384` bf16
+    # autocast equivalent): modules COMPUTE in bf16; params stay fp32
+    # (param_dtype default) so the AdamW numerics match the reference recipe.
+    dtype = jnp.bfloat16 if getattr(args, "mixed_precision", "bf16") == "bf16" \
+        else jnp.float32
     adapter = ControlNetAdapter(
         backbone_model_name=args.model_name,
         num_blocks=args.num_blocks,
@@ -230,15 +235,17 @@ def build_trainer(args) -> CtrlAdapterTrainer:
         add_temporal_transformer=args.add_temporal_transformer and temporal,
         num_repeats=args.num_repeats,
         out_channels=args.out_channels,
+        dtype=dtype,
     )
-    cnet = ControlNetModel()
-    vae = AutoencoderKL(config=VAEConfig(scaling_factor=cfg.vae_scaling_factor))
+    cnet = ControlNetModel(dtype=dtype)
+    vae = AutoencoderKL(config=VAEConfig(scaling_factor=cfg.vae_scaling_factor),
+                        dtype=dtype)
     if args.model_name == "sdxl":
-        unet = UNet2DConditionModel(config=SDXL_CONFIG)
+        unet = UNet2DConditionModel(config=SDXL_CONFIG, dtype=dtype)
     elif args.model_name == "i2vgenxl":
-        unet = I2VGenXLUNet()
+        unet = I2VGenXLUNet(dtype=dtype)
     else:
-        unet = UNetSpatioTemporalConditionModel()
+        unet = UNetSpatioTemporalConditionModel(dtype=dtype)
     router = (
         ControlNetRouter(num_experts=num_experts, router_type=args.router_type)
         if num_experts > 1 else None
@@ -336,6 +343,17 @@ def main():
         controlnet_by_type = None
     else:
         frozen, controlnet_by_type = load_frozen_real(args, trainer)
+    if getattr(args, "mixed_precision", "bf16") == "bf16":
+        # frozen towers live in bf16 on device (reference `train.py` casts them
+        # to weight_dtype); only the trainable adapter/router keep fp32 params.
+        # Halves frozen-param HBM (~2.8G at the i2vgenxl widths) — the full
+        # 512^2 train step does not fit with fp32 frozen params.
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+        frozen = cast(frozen)
+        if controlnet_by_type is not None:
+            controlnet_by_type = cast(controlnet_by_type)
     trainable = init_trainable(trainer, frozen, b, f)
     opt_state = trainer.init_optimizer(trainable)
 
