@@ -182,3 +182,67 @@ def test_i2vgenxl_unet_real_width_validates():
     module, args = build_target("unet", I2V_CFG, model_name="i2vgenxl")
     n = validate_params(params, module, args, label="i2vgenxl unet")
     assert n == len(sd)
+
+
+@pytest.mark.slow
+def test_convert_cli_orbax_roundtrip_numerical_parity(tmp_path):
+    """Full converter-CLI chain at thin widths: torch state_dict ->
+    safetensors + config.json -> convert_component(validate=True) -> orbax
+    restore -> flax apply matches the torch mirror forward. Covers the orbax
+    save/restore leg the file-level roundtrip tests skip."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from safetensors.torch import save_file
+
+    from ctrl_adapter_tpu.convert.convert_checkpoints import convert_component
+    from ctrl_adapter_tpu.models.controlnet import ControlNetConfig, ControlNetModel
+
+    torch.manual_seed(0)
+    mirror = ControlNetT(block_out=(32, 32, 64, 64), heads=(4, 4, 4, 4),
+                         cross_dim=24, cond_block_out=(8, 8, 16, 16),
+                         layers_per_block=2)
+    src = tmp_path / "src"
+    src.mkdir()
+    save_file({k: v.contiguous() for k, v in mirror.state_dict().items()},
+              str(src / "diffusion_pytorch_model.safetensors"))
+    (src / "config.json").write_text(json.dumps({
+        "_class_name": "ControlNetModel", "in_channels": 4,
+        "conditioning_channels": 3, "block_out_channels": [32, 32, 64, 64],
+        "layers_per_block": 2, "cross_attention_dim": 24,
+        "attention_head_dim": 4, "use_linear_projection": False,
+        "conditioning_embedding_out_channels": [8, 8, 16, 16],
+    }))
+    dst = tmp_path / "dst"
+    convert_component(str(src), str(dst), "controlnet", validate=True)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(str(dst / "controlnet"))
+
+    cfg = ControlNetConfig(
+        block_out_channels=(32, 32, 64, 64), num_attention_heads=(4, 4, 4, 4),
+        cross_attention_dim=24, conditioning_embedding_out_channels=(8, 8, 16, 16))
+    module = ControlNetModel(config=cfg)
+    rng = np.random.default_rng(1)
+    lat = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    t = np.asarray([100.0, 500.0], np.float32)
+    ctx = rng.standard_normal((2, 7, 24)).astype(np.float32) * 0.1
+    cond = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    downs_j, mid_j = jax.jit(
+        lambda p, *a: module.apply(p, *a)
+    )(restored, jnp.asarray(lat), jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(cond))
+
+    with torch.no_grad():
+        downs_t, mid_t = mirror(
+            torch.from_numpy(lat).permute(0, 3, 1, 2),
+            torch.from_numpy(t),
+            torch.from_numpy(ctx),
+            torch.from_numpy(cond).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(mid_j), mid_t.permute(0, 2, 3, 1).numpy(), rtol=2e-4, atol=2e-4)
+    for dj, dt in zip(downs_j, downs_t):
+        np.testing.assert_allclose(
+            np.asarray(dj), dt.permute(0, 2, 3, 1).numpy(), rtol=2e-4, atol=2e-4)
