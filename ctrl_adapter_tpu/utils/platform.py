@@ -13,6 +13,34 @@ from __future__ import annotations
 import os
 
 
+def host_cpu_cache_dir(base: str) -> str:
+    """Partition a jax compilation-cache dir by the host's CPU feature set.
+
+    The checkout-shared cache (`.cache/jax_test`) is reused by containers on
+    DIFFERENT physical hosts; XLA:CPU AOT executables embed the compile
+    machine's feature flags (amx/avx512 subsets, prefer-no-scatter, ...) and
+    deserializing one on a host without those features crashes the process
+    (observed: SIGSEGV inside compilation_cache.get_executable_and_time;
+    cpu_aot_loader warns "could lead to execution errors such as SIGILL").
+    TPU executables are device code and stay in the shared base dir.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                tag = "noflags"
+    except OSError:
+        tag = "nocpuinfo"
+    if os.path.basename(base) == f"cpu-{tag}":  # idempotent
+        return base
+    return os.path.join(base, f"cpu-{tag}")
+
+
 def respect_env_platforms() -> None:
     env = os.environ.get("JAX_PLATFORMS")
     if not env:

@@ -24,12 +24,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache INSIDE the repo (gitignored `.cache/`): fresh containers
 # share this checkout, so one warmed run makes later suite runs skip every compile —
 # this single-core host pays ~1h of XLA-CPU compile otherwise.
+# Partitioned PER HOST-CPU: containers land on different physical hosts, and
+# loading another host's XLA:CPU AOT executable (different feature flags)
+# segfaults the process (see utils/platform.py host_cpu_cache_dir).
+from ctrl_adapter_tpu.utils.platform import host_cpu_cache_dir  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get(
+    host_cpu_cache_dir(os.environ.get(
         "CTRL_ADAPTER_JAX_TEST_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".cache", "jax_test"),
-    ),
+    )),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
