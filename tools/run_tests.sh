@@ -39,7 +39,13 @@ run_group pipelines 1200 tests/test_video_pipelines.py tests/test_sdxl_pipeline.
                          -m slow
 run_group golden     900 tests/test_golden_regression.py tests/test_release_roundtrip.py \
                          -m slow
-run_group training  1500 tests/test_train_step.py -m slow
+# The train-step programs are the largest XLA-CPU executables in the suite;
+# (de)serializing several of them in ONE pytest process has segfaulted inside
+# jax's compilation cache (put/get_executable_and_time, observed twice at
+# different tests) — run each training test in its own process instead.
+for t in $(grep -oE '^def test_[a-z_0-9]+' tests/test_train_step.py | sed 's/def //'); do
+  run_group "training:$t" 600 "tests/test_train_step.py::$t"
+done
 run_group scale_out 1200 tests/test_multi_device_generation.py \
                          tests/test_native_control_size.py -m slow
 run_group convert    600 tests/test_convert_validate.py -m slow
